@@ -1,0 +1,100 @@
+"""Benchmark: training throughput of the flagship ContExt separator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: mixtures/sec/chip through the full jitted train step (forward + PIT-
+free -SI-SNR loss + backward + AdamW-amsgrad update) at the reference training
+shape: 16 s @ 8 kHz waveforms, one Llama context vector per mixture
+(reference recipe: per-GPU batch 2, fp16, ``README.md:104-150``).
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
+the denominator is a documented estimate of the 8xA100 recipe's per-GPU rate:
+~0.5 s/iter at per-GPU batch 2 => ~4 mixtures/s per A100. value/4.0 therefore
+approximates "per-chip speedup over one reference GPU".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_MIXTURES_PER_SEC_PER_GPU = 4.0  # documented estimate, see module docstring
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8, help="mixtures per step (one chip)")
+    ap.add_argument("--seconds", type=float, default=16.0, help="mixture length (s)")
+    ap.add_argument("--sr", type=int, default=8000)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--smoke", action="store_true", help="tiny config on CPU (plumbing only)")
+    args = ap.parse_args()
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    from cse_tpu.models import Sepformer, SepformerConfig
+    from cse_tpu.train.optimizer import build_optimizer
+    from cse_tpu.train.schedules import cosine_warmup_schedule
+    from cse_tpu.train.step import TrainConfig, make_train_step
+
+    if args.smoke:
+        cfg = SepformerConfig(
+            variant="context", enc_channels=16, enc_kernel=8, enc_stride=4,
+            d_model=16, nhead=4, d_ffn=32, num_tf_layers=1, num_dp_layers=1,
+            chunk_size=10, llm_dim=64, pe_max_len=256,
+        )
+        B, T = 2, 2000
+    else:
+        cfg = SepformerConfig(
+            variant="context", num_spks=2, compute_dtype=jnp.bfloat16, remat=True
+        )
+        B, T = args.batch, int(args.seconds * args.sr)
+
+    model = Sepformer(cfg)
+    rng = np.random.default_rng(0)
+    gt = rng.standard_normal((B, T)).astype(np.float32)
+    batch = {
+        "mixed": jnp.asarray(0.7 * gt + 0.3 * rng.standard_normal((B, T)).astype(np.float32)),
+        "gt": jnp.asarray(gt),
+        "ctx_feat": jnp.asarray(rng.standard_normal((B, 1, cfg.llm_dim)).astype(np.float32)),
+    }
+    params = model.init(jax.random.key(0), batch["mixed"][:, :2000], batch["ctx_feat"])
+    tx = build_optimizer(cosine_warmup_schedule(1.5e-4, 500000, 10000))
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, TrainConfig(variant="context"))
+
+    key = jax.random.key(1)
+    for _ in range(args.warmup):
+        key, sub = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state, batch, sub)
+    float(m["loss"])  # full host sync (block_until_ready is unreliable on axon)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state, batch, sub)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+
+    mixtures_per_sec = B * args.steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_throughput_contextual_extraction",
+                "value": round(mixtures_per_sec, 3),
+                "unit": "mixtures/s/chip (16s@8kHz, bf16, batch %d)" % B,
+                "vs_baseline": round(mixtures_per_sec / REF_MIXTURES_PER_SEC_PER_GPU, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Device mesh and sharding helpers.
+
+The reference's distributed runtime is torchrun + NCCL DDP with explicit
+barriers (reference ``train_ContSep.py:114-132,276-280,467``). The TPU-native
+equivalent is single-controller JAX SPMD: one (data, model) mesh over ICI,
+params replicated (separator is ~30M) or sharded on ``model`` (frozen Llama),
+batches sharded on ``data``; gradient all-reduce is inserted by XLA from the
+sharding annotations, and barriers disappear (SPMD programs are synchronous by
+construction). Multi-host entry goes through ``jax.distributed.initialize``.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_model: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Create a (data, model) mesh. Defaults to all devices on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"mesh {n_data}x{n_model} needs more than {len(devices)} devices"
+    )
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of [B, ...] arrays with B sharded over the data axis."""
+    sh = data_sharded(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def distributed_init_if_needed():
+    """Multi-host rendezvous (the torchrun/idr_torch replacement).
+
+    On single-host (including the CPU test mesh) this is a no-op; on a
+    multi-host TPU slice, coordinator discovery comes from the TPU runtime.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized by the runtime
+    try:
+        import os
+
+        if "COORDINATOR_ADDRESS" in os.environ:
+            jax.distributed.initialize()
+    except Exception:
+        pass

@@ -62,6 +62,9 @@ class SepformerConfig:
     pe_max_len: int = 2500
     compute_dtype: Any = jnp.float32
     use_flash_attention: bool = False
+    # rematerialization granularity: False/None, 'block' (dual block), or
+    # 'layer' (each transformer layer; smallest HBM peak for big batches)
+    remat: Any = False
 
     @property
     def add_ctx(self) -> bool:
@@ -164,14 +167,20 @@ class TransformerStack(nn.Module):
     pe_max_len: int = 2500
     compute_dtype: Any = jnp.float32
     use_flash: bool = False
+    remat_layers: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         L = x.shape[1]
         pe = sinusoidal_pe(self.pe_max_len, self.d_model)[:L]
         x = x + pe[None, :, :].astype(x.dtype)
+        layer_cls = (
+            nn.remat(TransformerEncoderLayer)
+            if self.remat_layers
+            else TransformerEncoderLayer
+        )
         for i in range(self.num_layers):
-            x = TransformerEncoderLayer(
+            x = layer_cls(
                 self.d_model,
                 self.nhead,
                 self.d_ffn,
@@ -223,6 +232,7 @@ class DualComputationBlock(nn.Module):
             pe_max_len=cfg.pe_max_len,
             compute_dtype=cfg.compute_dtype,
             use_flash=cfg.use_flash_attention,
+            remat_layers=cfg.remat == "layer",
         )
         Tc = 0 if ctx is None else ctx.shape[1]
 
@@ -274,8 +284,13 @@ class DualPathModel(nn.Module):
         )
         x, gap = segment(x, cfg.chunk_size)  # [B, S, K, N]
         pred_head = None
+        block_cls = (
+            nn.remat(DualComputationBlock)
+            if cfg.remat in (True, "block")
+            else DualComputationBlock
+        )
         for i in range(cfg.num_dp_layers):
-            x, pred_head = DualComputationBlock(cfg, name=f"dual_mdl_{i}")(x, ctx)
+            x, pred_head = block_cls(cfg, name=f"dual_mdl_{i}")(x, ctx)
         # PReLU (single shared slope, torch default init 0.25)
         alpha = self.param("prelu_alpha", nn.initializers.constant(0.25), (1,), jnp.float32)
         x = jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)

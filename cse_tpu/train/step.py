@@ -1,0 +1,183 @@
+"""Jitted train/eval steps for every CSE variant, data-parallel over a mesh.
+
+One compiled SPMD program per variant contains: (optional) frozen-LLM context
+prefill (stop_gradient), separator forward, loss, backward, clip, AdamW-amsgrad
+update. Params/optimizer state are replicated; the batch is sharded over the
+``data`` mesh axis; XLA inserts the gradient all-reduce from the sharding
+annotations — the TPU-native replacement for the reference's DDP backward hook
+(reference ``train_ContSep.py:276-280,396-419``).
+
+Loss surface per variant (SURVEY.md §2.2):
+* contsep:  ctx_weight * selector(BCE|CE vs SI-SNR-argmax label) + PIT SI-SNR
+            (reference ``train_ContSep.py:346-394``)
+* context:  -SI-SNR on stream 0 (reference ``train_ContExt.py:366-367``)
+* hcontext: same, with ECAPA cue + stochastic cue dropout drawn per step
+            (joint 0.3 / history 0.35 / voice 0.35, reference ``ContExt.py:96-111``)
+* base:     PIT SI-SNR only (pretraining objective)
+
+Non-finite guard: the reference skips updates on non-finite grad norms and
+(ContExt) non-finite losses; here optax.apply_if_finite rejects any update
+containing non-finite values, covering both.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cse_tpu.core import mesh as mesh_lib
+from cse_tpu.ops.losses import ctx_selection_loss, pit_si_snr_loss, si_snr
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    variant: str = "context"  # 'base' | 'contsep' | 'context' | 'hcontext'
+    num_spks: int = 2
+    ctx_weight: float = 1.0
+    use_ce: bool = True
+
+
+def _sample_cue(rng: jax.Array) -> jax.Array:
+    """H-ContExt per-step cue draw: two independent uniforms, as in the
+    reference's double random.random() (joint 0.3 / history 0.35 / voice 0.35)."""
+    r = jax.random.uniform(rng, (2,))
+    return jnp.where(r[0] < 0.3, 0, jnp.where((r[1] >= 0.3) & (r[1] < 0.8), 1, 2))
+
+
+def make_loss_fn(model, cfg: TrainConfig, llm_apply: Callable | None = None):
+    """Build loss(params, batch, rng) -> (loss, metrics).
+
+    ``batch`` keys: mixed [B,T], gt [B,T], noises [B,T,spk-1] (contsep/base),
+    ctx_feat [B,Tc,llm_dim] (or context_ids/context_mask when llm_apply is
+    given), se [B,1,192] (hcontext).
+    """
+
+    def get_ctx(batch):
+        if llm_apply is not None:
+            feats = llm_apply(batch["context_ids"], batch["context_mask"])
+            return jax.lax.stop_gradient(feats)
+        return batch.get("ctx_feat")
+
+    def loss_fn(params, batch, rng):
+        mixed, gt = batch["mixed"], batch["gt"]
+        metrics: dict[str, Any] = {}
+
+        if cfg.variant == "base":
+            est = model.apply(params, mixed)
+            targets = jnp.concatenate([gt[:, :, None], batch["noises"]], axis=-1)
+            loss = jnp.mean(pit_si_snr_loss(est, targets))
+            metrics["snr_loss"] = loss
+            return loss, metrics
+
+        ctx = get_ctx(batch)
+
+        if cfg.variant == "contsep":
+            est, logits = model.apply(params, mixed, ctx)
+            # selection label: stream with highest SI-SNR vs gt (no grad)
+            stream_snr = jax.lax.stop_gradient(
+                si_snr(est.transpose(0, 2, 1), gt[:, None, :])
+            )  # [B, spk]
+            label = jnp.argmax(stream_snr, axis=-1)
+            ctx_loss = ctx_selection_loss(logits, label, cfg.use_ce)
+            targets = jnp.concatenate([gt[:, :, None], batch["noises"]], axis=-1)
+            snr_loss = jnp.mean(pit_si_snr_loss(est, targets))
+            loss = cfg.ctx_weight * ctx_loss + snr_loss
+            pred = (
+                jnp.argmax(logits, axis=-1)
+                if cfg.use_ce
+                else (logits[:, 0] > 0).astype(jnp.int32)
+            )
+            metrics.update(
+                snr_loss=snr_loss,
+                ctx_loss=ctx_loss,
+                ctx_acc=jnp.mean((pred == label).astype(jnp.float32)),
+            )
+            return loss, metrics
+
+        # context / hcontext: extract stream 0
+        kwargs = {}
+        if cfg.variant == "hcontext":
+            kwargs = dict(se=batch["se"], cue_index=_sample_cue(rng))
+        est = model.apply(params, mixed, ctx, **kwargs)
+        loss = -jnp.mean(si_snr(est[:, :, 0], gt))
+        metrics["snr_loss"] = loss
+        return loss, metrics
+
+    return loss_fn
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg: TrainConfig,
+    mesh=None,
+    llm_apply: Callable | None = None,
+):
+    """Compile the SPMD train step.
+
+    Returns step(params, opt_state, batch, rng) -> (params, opt_state, metrics).
+    With ``mesh``, the batch is consumed sharded over the data axis and
+    params/opt state stay replicated (donated in-place).
+    """
+    loss_fn = make_loss_fn(model, cfg, llm_apply)
+
+    def step(params, opt_state, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    repl = mesh_lib.replicated(mesh)
+    data = mesh_lib.data_sharded(mesh)
+    return jax.jit(
+        step,
+        donate_argnums=(0, 1),
+        in_shardings=(repl, repl, data, repl),
+        out_shardings=(repl, repl, repl),
+    )
+
+
+def make_eval_step(model, cfg: TrainConfig, llm_apply: Callable | None = None, cue: str = "joint"):
+    """Compiled inference step -> (enhanced [B, T], aux metrics).
+
+    ContSep picks the stream via the selector head (sigmoid/softmax argmax,
+    reference ``test.py:233-239``); context variants return stream 0.
+    """
+    cue_idx = {"joint": 0, "history": 1, "voice": 2}[cue]
+
+    def step(params, batch):
+        mixed = batch["mixed"]
+        if cfg.variant == "base":
+            return model.apply(params, mixed), {}
+        if llm_apply is not None:
+            ctx = llm_apply(batch["context_ids"], batch["context_mask"])
+        else:
+            ctx = batch.get("ctx_feat")
+        if cfg.variant == "contsep":
+            est, logits = model.apply(params, mixed, ctx)
+            pred = (
+                jnp.argmax(logits, axis=-1)
+                if cfg.use_ce
+                else (logits[:, 0] > 0).astype(jnp.int32)
+            )
+            enhanced = jnp.take_along_axis(est, pred[:, None, None], axis=-1)[:, :, 0]
+            return enhanced, {"ctx_pred": pred}
+        kwargs = {}
+        if cfg.variant == "hcontext":
+            kwargs = dict(se=batch["se"], cue_index=jnp.asarray(cue_idx))
+        est = model.apply(params, mixed, ctx, **kwargs)
+        return est[:, :, 0], {}
+
+    return jax.jit(step)

@@ -1,0 +1,193 @@
+"""Train-step tests: loss descent, DP equivalence on the 8-device CPU mesh,
+non-finite guards, schedule math vs the reference formulas, checkpointing."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cse_tpu.core.mesh import make_mesh, shard_batch
+from cse_tpu.models import SepformerConfig, Sepformer
+from cse_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from cse_tpu.train.optimizer import build_optimizer
+from cse_tpu.train.schedules import (
+    ReduceLROnPlateau,
+    cosine_warmup_schedule,
+    linear_warmup_schedule,
+)
+from cse_tpu.train.step import TrainConfig, make_eval_step, make_loss_fn, make_train_step
+
+TINY = dict(
+    enc_channels=16, enc_kernel=8, enc_stride=4, d_model=16, nhead=4, d_ffn=32,
+    num_tf_layers=1, num_dp_layers=1, chunk_size=10, llm_dim=24, se_dim=12,
+    pe_max_len=256,
+)
+
+
+def _model(variant, **kw):
+    return Sepformer(SepformerConfig(variant=variant, **TINY, **kw))
+
+
+def _batch(rng, B=4, T=400, variant="context", num_spks=2):
+    gt = rng.standard_normal((B, T)).astype(np.float32)
+    n1 = rng.standard_normal((B, T)).astype(np.float32)
+    batch = {
+        "mixed": jnp.asarray(0.6 * gt + 0.4 * n1),
+        "gt": jnp.asarray(gt),
+        "ctx_feat": jnp.asarray(rng.standard_normal((B, 1, 24)).astype(np.float32)),
+    }
+    if variant in ("contsep", "base"):
+        noises = [n1] + [
+            rng.standard_normal((B, T)).astype(np.float32) for _ in range(num_spks - 2)
+        ]
+        batch["noises"] = jnp.asarray(np.stack(noises, -1))
+    if variant == "hcontext":
+        batch["se"] = jnp.asarray(rng.standard_normal((B, 1, 12)).astype(np.float32))
+    return batch
+
+
+def test_cosine_warmup_matches_reference_formula():
+    sched = cosine_warmup_schedule(2e-4, total_steps=1000, warmup_steps=100)
+    for count in [0, 49, 99, 100, 500, 998]:
+        it = count + 1  # reference evaluates after scheduler.step()
+        if it <= 100:
+            mult = it / 100
+        else:
+            mult = 0.5 * (1 + math.cos(math.pi * (it - 100) / 900))
+        assert abs(float(sched(count)) - 2e-4 * mult) < 1e-10
+
+
+def test_linear_warmup():
+    sched = linear_warmup_schedule(1e-3, warmup_steps=10)
+    assert abs(float(sched(4)) - 1e-3 * 0.5) < 1e-9
+    assert abs(float(sched(100)) - 1e-3) < 1e-9
+
+
+def test_plateau_scheduler():
+    s = ReduceLROnPlateau(patience=2, factor=0.5)
+    scales = [s.step(1.0)] + [s.step(0.5) for _ in range(4)]
+    assert scales[:3] == [1.0, 1.0, 1.0] and scales[3] == 0.5
+
+
+@pytest.mark.parametrize("variant", ["context", "contsep", "hcontext", "base"])
+def test_loss_runs_and_is_finite(rng, variant):
+    model = _model(variant, ce=True)
+    batch = _batch(rng, variant=variant)
+    kwargs = {}
+    if variant == "hcontext":
+        # hcontext = context model with add_se
+        model = _model("context", add_se=True)
+    init_args = [batch["mixed"]]
+    if variant != "base":
+        init_args.append(batch["ctx_feat"])
+    if variant == "hcontext":
+        kwargs = dict(se=batch["se"], cue_index=jnp.asarray(0))
+    params = model.init(jax.random.key(0), *init_args, **kwargs)
+    cfg = TrainConfig(variant=variant, num_spks=2)
+    loss, metrics = make_loss_fn(model, cfg)(params, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    if variant == "contsep":
+        assert {"snr_loss", "ctx_loss", "ctx_acc"} <= metrics.keys()
+
+
+def test_train_step_descends(rng):
+    model = _model("context")
+    batch = _batch(rng)
+    params = model.init(jax.random.key(0), batch["mixed"], batch["ctx_feat"])
+    cfg = TrainConfig(variant="context")
+    tx = build_optimizer(1e-3, update_frequency=1)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, cfg)
+    losses = []
+    key = jax.random.key(2)
+    for i in range(25):
+        key, sub = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state, batch, sub)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] - 1.0, losses[:3] + losses[-3:]
+
+
+def test_dp_equals_single_device(rng):
+    """8-way data-parallel gradients == single-device gradients on the same
+    batch (Adam's sign-like first step amplifies fp noise, so the invariant
+    to test is the gradient, not the post-update params)."""
+    model = _model("context")
+    batch = _batch(rng, B=8)
+    params = model.init(jax.random.key(0), batch["mixed"], batch["ctx_feat"])
+    cfg = TrainConfig(variant="context")
+    loss_fn = make_loss_fn(model, cfg)
+    grad_fn = jax.value_and_grad(lambda p, b: loss_fn(p, b, jax.random.key(3))[0])
+
+    l1, g1 = jax.jit(grad_fn)(params, batch)
+
+    mesh = make_mesh(8)
+    from cse_tpu.core.mesh import data_sharded, replicated
+
+    sharded = shard_batch(batch, mesh)
+    g_dp = jax.jit(
+        grad_fn,
+        in_shardings=(replicated(mesh), data_sharded(mesh)),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+    l8, g8 = g_dp(params, sharded)
+    assert abs(float(l1) - float(l8)) < 1e-4
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_nonfinite_batch_skips_update(rng):
+    model = _model("context")
+    batch = _batch(rng)
+    bad = dict(batch)
+    bad["mixed"] = batch["mixed"].at[0, 0].set(jnp.nan)
+    params = model.init(jax.random.key(0), batch["mixed"], batch["ctx_feat"])
+    tx = build_optimizer(1e-3)
+    step = make_train_step(model, tx, TrainConfig(variant="context"))
+    p2, _, m = step(jax.tree.map(jnp.copy, params), tx.init(params), bad, jax.random.key(1))
+    assert not np.isfinite(float(m["loss"]))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_step_contsep_selects_stream(rng):
+    model = _model("contsep", ce=True)
+    batch = _batch(rng, variant="contsep")
+    params = model.init(jax.random.key(0), batch["mixed"], batch["ctx_feat"])
+    ev = make_eval_step(model, TrainConfig(variant="contsep", use_ce=True))
+    enhanced, aux = ev(params, batch)
+    assert enhanced.shape == batch["mixed"].shape
+    assert aux["ctx_pred"].shape == (4,)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    model = _model("context")
+    batch = _batch(rng, B=2, T=200)
+    params = model.init(jax.random.key(0), batch["mixed"], batch["ctx_feat"])
+    tx = build_optimizer(1e-3)
+    state = {"params": params, "opt_state": tx.init(params), "step": 7, "epoch": 1}
+    d = str(tmp_path / "ckpts")
+    save_checkpoint(d, 1, 7, 3.14, state)
+    save_checkpoint(d, 2, 20, 4.0, state)
+    save_checkpoint(d, 2, 20, 4.0, state, best=True)
+    latest = latest_checkpoint(d)
+    assert "00020" in latest
+    restored = restore_checkpoint(latest, template=state)
+    assert int(restored["step"]) == 7
+    for a, b in zip(jax.tree.leaves(restored["params"]), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_torch_checkpoint_routing(tmp_path):
+    import torch
+
+    sd = {"w": torch.ones(3)}
+    p = str(tmp_path / "ref.ckpt")
+    torch.save({"state_dict": sd, "step": 5, "epoch": 0}, p)
+    out = restore_checkpoint(p)
+    assert out["step"] == 5 and np.allclose(out["state_dict"]["w"], 1.0)
