@@ -1,0 +1,127 @@
+"""Shared CLI flag definitions with reference parity.
+
+One flag module replaces the ~45 argparse flags duplicated across the six
+reference entry scripts (``train_ContSep.py:33-102`` etc.). Flag names and
+defaults match the reference so run recipes port verbatim; TPU-specific
+extensions are grouped at the bottom (and are all optional).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def add_data_flags(p: argparse.ArgumentParser):
+    p.add_argument("--dailytalk_data_path", default="dir_to/DailyTalk_processed")
+    p.add_argument("--spokenwoz_data_path", default="dir_to/SpokenWoz_processed")
+    p.add_argument("--tedlium_data_path", default="dir_to/TEDLIUM_processed")
+    p.add_argument("--acoustic_noise_path", default="dir_to/DEMAND")
+    p.add_argument("--llama_path", default="meta-llama/Meta-Llama-3-8B")
+    p.add_argument("--llama_auth_token", default="")
+    p.add_argument("--max_sp_len", type=int, default=16, help="max length in sec")
+    p.add_argument("--sr", type=int, default=8000)
+    p.add_argument("--context_length", type=int, default=0,
+                   help="eval dialog turns; 0=full history, -1=none")
+    p.add_argument("--ctx_length", type=int, default=1,
+                   help="how many LLM output positions are consumed")
+    p.add_argument("--num_max_mix", type=int, default=2)
+    p.add_argument("--num_test_mix", type=int, default=2)
+    p.add_argument("--augmentation", default=False, action="store_true")
+    p.add_argument("--speed_perturb_ratio", type=str, default="0.9 1.0 1.1")
+    p.add_argument("--shift_prob", type=float, default=0.4)
+    p.add_argument("--max_shift_sec", type=float, default=0.5)
+    p.add_argument("--max_context_train", type=int, default=100)
+    p.add_argument("--noise_add", default=False, action="store_true")
+    p.add_argument("--train_data", type=str, default="spokenwoz",
+                   help="dailytalk or spokenwoz or tedlium")
+
+
+def add_train_flags(p: argparse.ArgumentParser):
+    p.add_argument("--ctx_weight", type=float, default=1)
+    p.add_argument("--ce", default=True)
+    p.add_argument("--from_ckpt", default=False, action="store_true")
+    p.add_argument("--temp_dir", type=str, default="")
+    p.add_argument("--checkpoint_dir", type=str, default="./data/checkpoints/Sepformer")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--resume", default=False, action="store_true")
+    p.add_argument("--project", type=str, default=None)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--update_frequency", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--tot_iters", type=int, default=500000)
+    p.add_argument("--lr", type=float, default=0.0001)
+    p.add_argument("--warmup", default=False, action="store_true")
+    p.add_argument("--warmup_iteration", type=int, default=10000)
+    p.add_argument("--plateau", default=False, action="store_true")
+    p.add_argument("--no_reduce", type=int, default=100000)
+    p.add_argument("--weight_decay", type=float, default=0.000001)
+    p.add_argument("--workers", type=int, default=9)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--eval_step", type=int, default=5000)
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--start_step", type=int, default=0)
+    p.add_argument("--mode", type=str, default="train")
+    p.add_argument("--reset_optimizer", default=False, action="store_true")
+    p.add_argument("--fp16", default=False, action="store_true")
+    p.add_argument("--bf16", default=False, action="store_true")
+    p.add_argument("--generate_speech", default=False, action="store_true")
+    p.add_argument("--generate_step", type=int, default=1000)
+    p.add_argument("--num_gen_speech", type=int, default=20)
+    p.add_argument("--distributed", default=False, action="store_true")
+    p.add_argument("--torchrun", default=False, action="store_true")
+    p.add_argument("--masterport", type=str, default="1234")
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--gpu", type=str, default="0")
+
+
+def add_test_flags(p: argparse.ArgumentParser):
+    p.add_argument("--test_model", type=str, default="ContExt")
+    p.add_argument("--test_dataset", type=str, default="dailytalk")
+    p.add_argument("--save_dir", type=str, default="./data/test_results")
+    p.add_argument("--cue", type=str, default="joint",
+                   help="joint | history | voice (H-ContExt ablation)")
+    p.add_argument("--one_sec", default=False, action="store_true")
+    p.add_argument("--local_rank", type=int, default=0)
+    p.add_argument("--whisper_path", type=str, default=None,
+                   help="local OpenAI whisper base.pt (cascaded pipeline)")
+
+
+def add_tpu_flags(p: argparse.ArgumentParser):
+    """cse_tpu extensions (all optional; absent from the reference)."""
+    p.add_argument("--synthetic_smoke", default=False, action="store_true",
+                   help="build a tiny synthetic corpus and run end-to-end")
+    p.add_argument("--mesh_data", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--remat", type=str, default="layer",
+                   choices=["none", "block", "layer"])
+    p.add_argument("--flash_attention", default=False, action="store_true")
+    p.add_argument("--max_ctx_tokens", type=int, default=512)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force jax platform (e.g. cpu for local smoke)")
+    p.add_argument("--log_every", type=int, default=100)
+
+
+def parse_train_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser()
+    add_data_flags(p)
+    add_train_flags(p)
+    add_tpu_flags(p)
+    args = p.parse_args(argv)
+    args.speed_perturb_ratio = tuple(
+        float(r) for r in args.speed_perturb_ratio.split()
+    )
+    return args
+
+
+def parse_test_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser()
+    add_data_flags(p)
+    add_train_flags(p)
+    add_test_flags(p)
+    add_tpu_flags(p)
+    p.set_defaults(mode="test", workers=5, max_shift_sec=1.0)
+    args = p.parse_args(argv)
+    args.speed_perturb_ratio = tuple(
+        float(r) for r in args.speed_perturb_ratio.split()
+    )
+    return args

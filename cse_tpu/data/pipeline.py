@@ -1,0 +1,408 @@
+"""Input pipeline: host decode/tokenize, on-device mixture synthesis.
+
+The reference runs its entire augmentation chain per-sample in Python inside
+CPU DataLoader workers (``dataset_train_CSE.py:167-415``) — its documented
+bottleneck. Here the host only decodes WAV bytes into fixed [B, T] buffers and
+draws the per-sample randomness; one jitted ``synthesize_batch`` then runs
+peak-norm -> circular shift -> speed perturbation -> SNR mixing -> DEMAND
+noise -> 16k->8k resampling, batched on the TPU. All shapes are static per
+(batch, max_sp_len) bucket; randomness enters as data, so the program compiles
+once.
+
+Host-side sharding of the file list by (process_index, process_count) with a
+seeded per-epoch shuffle replaces DistributedSampler; a background prefetch
+thread overlaps decode with device steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cse_tpu.data import datasets as ds
+from cse_tpu.data.audio_io import peak_normalize_np, read_wav
+from cse_tpu.data.tokenizer import encode_batch
+from cse_tpu.ops.mixing import (
+    add_noise_snr,
+    circular_shift,
+    mix_2spk,
+    mix_3spk,
+    peak_normalize,
+)
+from cse_tpu.ops.resample import resample, speed_perturb
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    max_sp_len: int = 16  # seconds (per-utterance cap at 16 kHz)
+    sr: int = 8000  # model sample rate
+    num_max_mix: int = 2
+    augmentation: bool = True
+    speed_perturb_ratio: tuple = (0.9, 1.0, 1.1)
+    shift_prob: float = 0.4
+    max_shift_sec: float = 0.5
+    noise_add: bool = True
+    max_context_train: int = 300
+    context_length: int = 0
+    max_ctx_tokens: int = 512
+    return_16k_gt: bool = False
+    one_sec: bool = False
+
+    @property
+    def t16(self) -> int:
+        return self.max_sp_len * 16000
+
+
+# --------------------------------------------------------------------------
+# device-side synthesis (jitted once per shape bucket)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def synthesize_batch(cfg: PipelineConfig, host: dict) -> dict:
+    """Fuse the whole train-time augmentation chain on device.
+
+    ``host`` carries decoded 16 kHz buffers and host-drawn randomness:
+      source/noise1[/noise2]: [B, T16] zero-padded, *_len: [B]
+      demand: [B, T16] tiled crop, use_demand: [B], demand_snr: [B]
+      shift_*: [B] ints (0 = no shift), speed_idx_*: [B] in {0,1,2}
+      snr1[/snr2]: [B], flip: [B] (2-spk role swap coin)
+    Returns 8 kHz arrays: mixed/gt [B, T8], noises [B, T8, n-1], sp_len [B],
+    plus gt16k (pre-mix source at 16 kHz) for enrollment cropping.
+    """
+    T16 = cfg.t16
+
+    def prep(x, ln, shift, speed_idx):
+        x = peak_normalize(x)
+        if cfg.augmentation:
+            x = circular_shift(x, shift, ln)
+            x, ln = speed_perturb(
+                x, ln, speed_idx, factors=cfg.speed_perturb_ratio, sr=16000
+            )
+            x = x[:, :T16]
+            ln = jnp.minimum(ln, T16)
+        return x, ln
+
+    src, src_len = prep(
+        host["source"], host["source_len"], host["shift_src"], host["speed_src"]
+    )
+    n1, n1_len = prep(
+        host["noise1"], host["noise1_len"], host["shift_n1"], host["speed_n1"]
+    )
+
+    gt16k = src  # pre-mix source (enrollment audio is cut from this)
+
+    if cfg.num_max_mix == 2:
+        flip = host["flip"][:, None]
+        a = jnp.where(flip, n1, src)
+        b = jnp.where(flip, src, n1)
+        a_len = jnp.where(host["flip"], n1_len, src_len)
+        b_len = jnp.where(host["flip"], src_len, n1_len)
+        mixed, a_s, b_s, mixed_len = mix_2spk(a, b, host["snr1"], a_len, b_len)
+        gt = jnp.where(flip, b_s, a_s)
+        noises = jnp.where(flip, a_s, b_s)[:, :, None]
+    else:
+        n2, n2_len = prep(
+            host["noise2"], host["noise2_len"], host["shift_n2"], host["speed_n2"]
+        )
+        mixed, gt, s1, s2, mixed_len = mix_3spk(
+            src, n1, n2, host["snr1"], host["snr2"], src_len, n1_len, n2_len
+        )
+        noises = jnp.stack([s1, s2], axis=-1)
+
+    if cfg.augmentation and cfg.noise_add:
+        mask = (jnp.arange(T16)[None, :] < mixed_len[:, None]).astype(mixed.dtype)
+        noisy = add_noise_snr(mixed, host["demand"] * mask, host["demand_snr"])
+        mixed = jnp.where(host["use_demand"][:, None], noisy, mixed)
+
+    # 16k -> 8k for the separator
+    out = {}
+    mixed8, len8 = resample(mixed, 16000, cfg.sr, lengths=mixed_len)
+    gt8, _ = resample(gt, 16000, cfg.sr)
+    B, T8 = mixed8.shape
+    noi8 = resample(noises.transpose(0, 2, 1).reshape(-1, T16), 16000, cfg.sr)[0]
+    out["mixed"] = mixed8
+    out["gt"] = gt8
+    out["noises"] = noi8.reshape(B, -1, T8).transpose(0, 2, 1)
+    out["sp_len"] = len8
+    out["gt16k"] = gt16k
+    out["gt16k_len"] = src_len
+    return out
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def resample_eval_batch(sr: int, host: dict) -> dict:
+    """Eval path: premixed 16 kHz wavs -> model rate (reference ``:393-398``)."""
+    out = dict(host)
+    if sr != 16000:
+        for k in ("mixed", "gt"):
+            out[k], _ = resample(host[k], 16000, sr)
+        B, T, C = host["noises"].shape
+        n8 = resample(host["noises"].transpose(0, 2, 1).reshape(B * C, T), 16000, sr)[0]
+        out["noises"] = n8.reshape(B, C, -1).transpose(0, 2, 1)
+        out["sp_len"] = jnp.ceil(host["sp_len"] * (sr / 16000)).astype(jnp.int32)
+    return out
+
+
+# --------------------------------------------------------------------------
+# host-side loaders
+# --------------------------------------------------------------------------
+
+
+def _load_into(buf: np.ndarray, path: str, limit: int) -> int:
+    """Decode wav -> buf[:n] (peak-normed 0.9 like the reference load path)."""
+    x, sr = read_wav(path)
+    assert sr == 16000, f"{path}: expected 16 kHz, got {sr}"
+    x = peak_normalize_np(x)
+    n = min(len(x), limit)
+    buf[:n] = x[:n]
+    buf[n:] = 0
+    return n
+
+
+class TrainLoader:
+    """Per-host sharded, seeded, threaded loader for on-the-fly mixtures."""
+
+    def __init__(
+        self,
+        file_paths: list[str],
+        cfg: PipelineConfig,
+        tokenizer,
+        corpus: str,
+        batch_size: int,
+        demand_files: list[str] | None = None,
+        seed: int = 0,
+        num_workers: int = 8,
+        process_index: int | None = None,
+        process_count: int | None = None,
+    ):
+        self.files = file_paths
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.corpus = corpus
+        self.B = batch_size
+        self.demand = demand_files or []
+        self.seed = seed
+        self.pool = ThreadPoolExecutor(num_workers)
+        self.pi = process_index if process_index is not None else jax.process_index()
+        self.pc = process_count if process_count is not None else jax.process_count()
+
+    def epoch_indices(self, epoch: int) -> list[int]:
+        rng = random.Random(f"{self.seed}-{epoch}")
+        idx = list(range(len(self.files)))
+        rng.shuffle(idx)
+        return idx[self.pi :: self.pc]  # per-host shard (DistributedSampler)
+
+    def _sample(self, i: int, rng: random.Random, out: dict, row: int):
+        cfg = self.cfg
+        T16 = cfg.t16
+        f = self.files[i]
+        # interferers: random other utterances (reference ``:172,194``)
+        others = rng.sample(range(len(self.files) - 1), cfg.num_max_mix - 1)
+        others = [o + 1 if o >= i else o for o in others]
+
+        out["source_len"][row] = _load_into(out["source"][row], f, T16)
+        out["noise1_len"][row] = _load_into(
+            out["noise1"][row], self.files[others[0]], T16
+        )
+        if cfg.num_max_mix == 3:
+            out["noise2_len"][row] = _load_into(
+                out["noise2"][row], self.files[others[1]], T16
+            )
+
+        max_shift = int(cfg.max_shift_sec * 16000)
+        for tag in ("src", "n1") + (("n2",) if cfg.num_max_mix == 3 else ()):
+            out[f"shift_{tag}"][row] = (
+                rng.randint(-max_shift, max_shift)
+                if rng.random() < cfg.shift_prob
+                else 0
+            )
+            out[f"speed_{tag}"][row] = rng.randint(
+                0, len(cfg.speed_perturb_ratio) - 1
+            )
+        out["snr1"][row] = float(np.clip(rng.normalvariate(0, 4), -5, 5))
+        if cfg.num_max_mix == 3:
+            out["snr2"][row] = float(np.clip(rng.normalvariate(0, 4), -5, 5))
+        out["flip"][row] = rng.random() >= 0.5  # half prob: noise takes full role
+
+        if cfg.noise_add and self.demand and rng.random() < 0.5:
+            out["use_demand"][row] = True
+            out["demand_snr"][row] = rng.random() * 10
+            nx, nsr = read_wav(rng.choice(self.demand))
+            assert nsr in (16000, 32000), "DEMAND contains 16k/32k files"
+            if nsr == 32000:
+                nx = nx[::2]  # cheap host decimation for the noise bed
+            nx = peak_normalize_np(nx)
+            start = rng.randint(0, max(len(nx) - T16, 0)) if len(nx) > T16 else 0
+            idx = (start + np.arange(T16)) % len(nx)
+            out["demand"][row] = nx[idx]
+
+        return ds.assemble_context(
+            f, self.corpus, "train", max_context_train=cfg.max_context_train, rng=rng
+        )
+
+    def batches(self, epoch: int) -> Iterator[dict]:
+        cfg = self.cfg
+        T16 = cfg.t16
+        order = self.epoch_indices(epoch)
+        B = self.B
+        for b0 in range(0, len(order) - B + 1, B):
+            rows = order[b0 : b0 + B]
+            out = {
+                "source": np.zeros((B, T16), np.float32),
+                "noise1": np.zeros((B, T16), np.float32),
+                "demand": np.zeros((B, T16), np.float32),
+                "source_len": np.zeros(B, np.int32),
+                "noise1_len": np.zeros(B, np.int32),
+                "snr1": np.zeros(B, np.float32),
+                "flip": np.zeros(B, bool),
+                "use_demand": np.zeros(B, bool),
+                "demand_snr": np.zeros(B, np.float32),
+                "shift_src": np.zeros(B, np.int32),
+                "shift_n1": np.zeros(B, np.int32),
+                "speed_src": np.zeros(B, np.int32),
+                "speed_n1": np.zeros(B, np.int32),
+            }
+            if cfg.num_max_mix == 3:
+                out.update(
+                    noise2=np.zeros((B, T16), np.float32),
+                    noise2_len=np.zeros(B, np.int32),
+                    snr2=np.zeros(B, np.float32),
+                    shift_n2=np.zeros(B, np.int32),
+                    speed_n2=np.zeros(B, np.int32),
+                )
+            rngs = [
+                random.Random(f"{self.seed}-{epoch}-{i}-{self.pi}") for i in rows
+            ]
+            ctxs = list(
+                self.pool.map(
+                    lambda args: self._sample(args[0], args[1], out, args[2]),
+                    [(i, r, k) for k, (i, r) in enumerate(zip(rows, rngs))],
+                )
+            )
+            ids, mask = encode_batch(self.tok, ctxs, cfg.max_ctx_tokens)
+            out["context_ids"] = ids
+            out["context_mask"] = mask
+            yield out
+
+    def device_batch(self, host: dict) -> dict:
+        """Run the on-device synthesis; returns the model-ready batch."""
+        keys = {"context_ids", "context_mask"}
+        synth_in = {k: v for k, v in host.items() if k not in keys}
+        batch = dict(synthesize_batch(self.cfg, synth_in))
+        batch["context_ids"] = jnp.asarray(host["context_ids"])
+        batch["context_mask"] = jnp.asarray(host["context_mask"])
+        return batch
+
+
+class EvalLoader:
+    """Loader over released premixed eval sets (``{mode}/{mixed,gt,noise*}``)."""
+
+    def __init__(
+        self,
+        paths: ds.CorpusPaths,
+        corpus: str,
+        mode: str,
+        cfg: PipelineConfig,
+        tokenizer,
+        batch_size: int,
+        num_test_mix: int = 2,
+        num_workers: int = 8,
+        seed: int = 0,
+    ):
+        self.mix_paths, self.gt_paths = ds.build_eval_list(
+            paths, corpus, mode, num_test_mix, seed=seed
+        )
+        self.corpus = corpus
+        self.mode = mode
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.B = batch_size
+        self.num_test_mix = num_test_mix
+        self.pool = ThreadPoolExecutor(num_workers)
+
+    def __len__(self):
+        return len(self.mix_paths)
+
+    def batches(self, limit_batches: int | None = None) -> Iterator[dict]:
+        cfg = self.cfg
+        T16 = cfg.t16
+        B = self.B
+        n_batches = math.ceil(len(self.mix_paths) / B)
+        if limit_batches is not None:
+            n_batches = min(n_batches, limit_batches)
+        for bi in range(n_batches):
+            rows = list(range(bi * B, min((bi + 1) * B, len(self.mix_paths))))
+            nb = len(rows)
+            out = {
+                "mixed": np.zeros((nb, T16), np.float32),
+                "gt": np.zeros((nb, T16), np.float32),
+                "noises": np.zeros((nb, T16, self.num_test_mix - 1), np.float32),
+                "sp_len": np.zeros(nb, np.int32),
+            }
+            names = []
+            ctxs = []
+
+            def load_row(k_i):
+                k, i = k_i
+                mp, gp = self.mix_paths[i], self.gt_paths[i]
+                # eval wavs are loaded raw (no peak renorm, reference :325-332)
+                x, sr = read_wav(mp)
+                assert sr == 16000
+                n = min(len(x), T16)
+                out["mixed"][k, :n] = x[:n]
+                out["sp_len"][k] = n
+                g, _ = read_wav(gp)
+                m = min(len(g), n)  # gt trimmed/padded to mix length
+                out["gt"][k, :m] = g[:m]
+                for c, npth in enumerate(ds.noise_paths_for(gp, self.num_test_mix)):
+                    nz, _ = read_wav(npth)
+                    m2 = min(len(nz), n)
+                    out["noises"][k, :m2, c] = nz[:m2]
+                return ds.assemble_context(
+                    mp, self.corpus, self.mode, context_length=cfg.context_length
+                )
+
+            ctxs = list(self.pool.map(load_row, list(enumerate(rows))))
+            names = [
+                os.path.splitext(os.path.basename(self.mix_paths[i]))[0] for i in rows
+            ]
+            ids, mask = encode_batch(self.tok, ctxs, cfg.max_ctx_tokens)
+            batch = dict(resample_eval_batch(cfg.sr, {k: jnp.asarray(v) for k, v in out.items()}))
+            batch["context_ids"] = jnp.asarray(ids)
+            batch["context_mask"] = jnp.asarray(mask)
+            batch["names"] = names
+            batch["contexts"] = ctxs
+            yield batch
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetch so host decode overlaps device compute."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            break
+        yield item

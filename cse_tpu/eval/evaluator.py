@@ -1,0 +1,112 @@
+"""Test-set evaluation mirroring the reference ``test.py`` protocol.
+
+Computes SI-SNR / SDR (+ improvements over the mixture) with float64 host
+accumulators, stream-selection accuracy (pred closer to gt than to every
+interferer, reference ``test.py:248-255``), optional peak-normed PCM_16 wav
+dumps, and writes ``test_results_{ds}.txt`` / ``acc_{ds}.txt``
+(reference ``test.py:303-310``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from cse_tpu.data.pipeline import EvalLoader
+from cse_tpu.data.audio_io import write_wav
+from cse_tpu.eval.metrics import MeanMetric, SdrMetric, SiSnrMetric, si_snr_numpy
+
+
+def evaluate(
+    eval_step,
+    params,
+    loader: EvalLoader,
+    sr: int,
+    save_dir: str | None = None,
+    dir_name: str = "",
+    test_dataset: str = "",
+    generate_speech: bool = False,
+    prepare_batch=None,
+    limit_batches: int | None = None,
+    verbose: bool = True,
+) -> dict:
+    m_sisnr, m_sisnr_prev = SiSnrMetric(), SiSnrMetric()
+    m_sdr, m_sdr_prev = SdrMetric(), SdrMetric()
+    accs: list[np.ndarray] = []
+
+    total = len(loader)
+    seen = 0
+    for bi, batch in enumerate(loader.batches(limit_batches=limit_batches)):
+        if prepare_batch is not None:
+            batch = prepare_batch(batch)
+        model_batch = {
+            k: batch[k]
+            for k in ("mixed", "gt", "noises", "context_ids", "context_mask", "se", "ctx_feat")
+            if k in batch
+        }
+        enhanced, aux = eval_step(params, model_batch)
+        enhanced = np.asarray(enhanced, np.float64)
+        gt = np.asarray(batch["gt"], np.float64)
+        mixed = np.asarray(batch["mixed"], np.float64)
+        noises = np.asarray(batch["noises"], np.float64)
+
+        m_sisnr.update(enhanced, gt)
+        m_sdr.update(enhanced, gt)
+        m_sisnr_prev.update(mixed, gt)
+        m_sdr_prev.update(mixed, gt)
+
+        ok = np.ones(len(enhanced), np.int32)
+        gt_score = si_snr_numpy(enhanced, gt)
+        for c in range(noises.shape[-1]):
+            ok &= (gt_score >= si_snr_numpy(enhanced, noises[:, :, c])).astype(np.int32)
+        accs.append(ok)
+
+        if generate_speech and save_dir is not None:
+            _dump_wavs(save_dir, dir_name, test_dataset, batch, enhanced, sr)
+
+        seen += len(enhanced)
+        if verbose and bi % 100 == 0:
+            print(f"******** Test : {seen} / {total} ********")
+
+    results = {
+        "si_snr": m_sisnr.compute(),
+        "sdr": m_sdr.compute(),
+        "si_snr_i": m_sisnr.compute() - m_sisnr_prev.compute(),
+        "sdr_i": m_sdr.compute() - m_sdr_prev.compute(),
+        "acc": float(np.mean(np.concatenate(accs))) if accs else 0.0,
+        "n": seen,
+    }
+    if verbose:
+        print(f"## Test SI-SNR ({test_dataset}): ", results["si_snr"])
+        print(f"## Test SDR ({test_dataset}): ", results["sdr"])
+        print(f"## Test SI-SNR-I ({test_dataset}): ", results["si_snr_i"])
+        print(f"## Test SDR-I ({test_dataset}): ", results["sdr_i"])
+    if save_dir is not None:
+        out = os.path.join(save_dir, dir_name)
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, f"test_results_{test_dataset}.txt"), "w") as f:
+            f.write(f"Test SI-SNR: {results['si_snr']}\n")
+            f.write(f"Test SDR: {results['sdr']}\n")
+            f.write(f"Test SI-SNR-I: {results['si_snr_i']}\n")
+            f.write(f"Test SDR-I: {results['sdr_i']}\n")
+        with open(os.path.join(out, f"acc_{test_dataset}.txt"), "w") as f:
+            f.write(f"{results['acc']:.4f}\n")
+    return results
+
+
+def _dump_wavs(save_dir, dir_name, test_dataset, batch, enhanced, sr):
+    base = os.path.join(save_dir, dir_name, f"audio_{test_dataset}")
+    for sub in ("gts", "preds", "mixed"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    lens = np.asarray(batch["sp_len"])
+    for k, name in enumerate(batch["names"]):
+        n = int(lens[k])
+        for sub, arr in (
+            ("gts", np.asarray(batch["gt"])),
+            ("preds", enhanced),
+            ("mixed", np.asarray(batch["mixed"])),
+        ):
+            x = arr[k, :n].astype(np.float32)
+            x = x / max(np.abs(x).max(), 1e-9) * 0.9
+            write_wav(os.path.join(base, sub, name + ".wav"), x, sr)

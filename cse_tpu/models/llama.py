@@ -1,0 +1,245 @@
+"""Llama-3 in JAX: frozen dialog-history encoder + causal-LM scoring.
+
+The reference conditions every CSE model on a frozen fp16
+``transformers.LlamaModel`` (``train_ContSep.py:163-165,379-380``) and scores
+cascaded transcripts with ``LlamaForCausalLM`` (``test_cascaded.py:111,230``).
+Both uses are a single prefill — no generation — so this implementation is a
+pure forward: token embed -> scan over (RMSNorm, GQA attention with RoPE,
+SwiGLU MLP) -> final RMSNorm [-> LM head].
+
+TPU-native choices:
+* layer weights are stacked ``[n_layers, ...]`` and the block runs under
+  ``lax.scan`` — one compiled layer body, fast compiles, clean HBM layout.
+* bf16 weights/activations, fp32 RMSNorm/softmax accumulations.
+* tensor parallelism = sharding annotations on the stacked params
+  (heads/ffn split over the ``model`` mesh axis); XLA inserts the
+  all-reduces. An 8B model in bf16 (~16 GB) does not fit one v5e core, so
+  multi-chip TP/DP sharding is the deployment path; a 1B/3B variant or the
+  hash stub serves single-chip development.
+* positions are ``arange`` over the padded sequence (matching HF's behavior
+  for a plain forward with left padding, which is what the reference calls).
+
+Weights load from a local HF checkout (config.json + *.safetensors).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_json(cls, path: str) -> "LlamaConfig":
+        with open(os.path.join(path, "config.json")) as f:
+            d = json.load(f)
+        return cls(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_hidden_layers=d["num_hidden_layers"],
+            num_attention_heads=d["num_attention_heads"],
+            num_key_value_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+            rope_theta=d.get("rope_theta", 10000.0),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+        )
+
+
+def _rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding, HF half-split convention. x: [B, H, T, dh]."""
+    dh = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+    ang = positions[:, None, :, None].astype(jnp.float32) * inv_freq[None, None, None, :]
+    cos = jnp.cos(ang).astype(x.dtype)  # [B, 1, T, dh/2]
+    sin = jnp.sin(ang).astype(x.dtype)
+    x1, x2 = x[..., : dh // 2], x[..., dh // 2 :]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def llama_forward(
+    params: dict,
+    ids: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: LlamaConfig,
+    return_logits: bool = False,
+) -> jnp.ndarray:
+    """ids/mask: [B, T] -> last_hidden_state [B, T, D] or logits [B, T, V]."""
+    B, T = ids.shape
+    H, KV, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    x = params["embed"][ids]  # [B, T, D]
+    positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+
+    # additive attention bias: causal + key padding
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    keymask = mask.astype(bool)[:, None, None, :] & causal[None, None, :, :]
+    bias = jnp.where(keymask, 0.0, -1e30).astype(jnp.float32)
+
+    def layer(x, lp):
+        h = _rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+        q = (h @ lp["q"]).reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+        k = (h @ lp["k"]).reshape(B, T, KV, dh).transpose(0, 2, 1, 3)
+        v = (h @ lp["v"]).reshape(B, T, KV, dh).transpose(0, 2, 1, 3)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+        if KV != H:  # grouped-query: repeat kv heads
+            rep = H // KV
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        logits = logits / np.sqrt(dh) + bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
+        x = x + attn @ lp["o"]
+        h = _rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(h @ lp["gate"])
+        x = x + (gate * (h @ lp["up"])) @ lp["down"]
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+    x = _rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    if return_logits:
+        head = params.get("lm_head", params["embed"].T)
+        return (x @ head).astype(jnp.float32)
+    return x
+
+
+# --------------------------------------------------------------------------
+# weight loading / sharding
+# --------------------------------------------------------------------------
+
+
+def load_llama_params(path: str, dtype=jnp.bfloat16, mesh=None) -> tuple[dict, LlamaConfig]:
+    """Load a local HF Llama checkout into the stacked-scan param layout."""
+    from safetensors import safe_open
+
+    cfg = LlamaConfig.from_json(path)
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    assert files, f"no safetensors under {path}"
+    tensors: dict[str, np.ndarray] = {}
+    for f in files:
+        with safe_open(f, framework="numpy") as sf:
+            for k in sf.keys():
+                tensors[k] = sf.get_tensor(k)
+
+    def get(name):
+        return np.asarray(tensors[name])
+
+    L = cfg.num_hidden_layers
+    layers = {
+        "input_ln": np.stack([get(f"model.layers.{i}.input_layernorm.weight") for i in range(L)]),
+        "post_ln": np.stack([get(f"model.layers.{i}.post_attention_layernorm.weight") for i in range(L)]),
+        "q": np.stack([get(f"model.layers.{i}.self_attn.q_proj.weight").T for i in range(L)]),
+        "k": np.stack([get(f"model.layers.{i}.self_attn.k_proj.weight").T for i in range(L)]),
+        "v": np.stack([get(f"model.layers.{i}.self_attn.v_proj.weight").T for i in range(L)]),
+        "o": np.stack([get(f"model.layers.{i}.self_attn.o_proj.weight").T for i in range(L)]),
+        "gate": np.stack([get(f"model.layers.{i}.mlp.gate_proj.weight").T for i in range(L)]),
+        "up": np.stack([get(f"model.layers.{i}.mlp.up_proj.weight").T for i in range(L)]),
+        "down": np.stack([get(f"model.layers.{i}.mlp.down_proj.weight").T for i in range(L)]),
+    }
+    params = {
+        "embed": get("model.embed_tokens.weight"),
+        "layers": layers,
+        "final_ln": get("model.norm.weight"),
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in tensors:
+        params["lm_head"] = get("lm_head.weight").T
+
+    shardings = llama_shardings(mesh) if mesh is not None else None
+
+    def put(pth, x):
+        x = jnp.asarray(x, dtype)
+        if shardings is None:
+            return x
+        return jax.device_put(x, _lookup(shardings, pth))
+
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: put(p, x), params
+    )
+    return params, cfg
+
+
+def llama_shardings(mesh) -> dict:
+    """Megatron-style TP over the 'model' axis for the stacked layout."""
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    return {
+        "embed": ns("model", None),  # vocab-sharded
+        "final_ln": ns(None),
+        "lm_head": ns(None, "model"),
+        "layers": {
+            "input_ln": ns(None, None),
+            "post_ln": ns(None, None),
+            "q": ns(None, None, "model"),
+            "k": ns(None, None, "model"),
+            "v": ns(None, None, "model"),
+            "o": ns(None, "model", None),
+            "gate": ns(None, None, "model"),
+            "up": ns(None, None, "model"),
+            "down": ns(None, "model", None),
+        },
+    }
+
+
+def _lookup(tree: dict, path) -> NamedSharding:
+    node = tree
+    for p in path:
+        key = getattr(p, "key", None)
+        if key is not None and isinstance(node, dict) and key in node:
+            node = node[key]
+    return node
+
+
+class LlamaContextEncoder:
+    """Frozen Llama prefill -> last ``ctx_length`` hidden states [B, Tc, 4096].
+
+    The reference consumes ``last_hidden_state[:, -1:]`` (ContSep,
+    ``train_ContSep.py:380``) or ``[:, -ctx_length:]`` (ContExt,
+    ``train_ContExt.py:362``); left padding puts those at the sequence end.
+    """
+
+    def __init__(self, path: str, ctx_length: int = 1, dtype=jnp.bfloat16, mesh=None):
+        self.params, self.cfg = load_llama_params(path, dtype=dtype, mesh=mesh)
+        self.ctx_length = ctx_length
+        self._fwd = jax.jit(
+            partial(llama_forward, cfg=self.cfg), static_argnames=("return_logits",)
+        )
+
+    def __call__(self, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        h = self._fwd(self.params, ids, mask)
+        return h[:, -self.ctx_length :, :].astype(jnp.float32)
+
+    def score_logits(self, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """Causal-LM logits [B, T, V] for cascaded stream scoring."""
+        return self._fwd(self.params, ids, mask, return_logits=True)

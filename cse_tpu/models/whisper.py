@@ -1,0 +1,425 @@
+"""Whisper (base) ASR in JAX: encoder-decoder + scan-based greedy decode.
+
+The reference's cascaded pipeline transcribes each separated stream with
+``whisper.load_model("base").transcribe(...)`` (``test_cascaded.py:116,224``).
+This is a from-scratch JAX implementation of the published Whisper
+architecture (Radford et al. 2022):
+
+  log-mel(80) -> Conv1d(k3,s1)+GELU -> Conv1d(k3,s2)+GELU -> +sin pos
+  -> N pre-LN encoder layers -> LN
+  decoder: tok emb + learned pos -> N pre-LN layers (causal self-attn +
+  cross-attn) -> LN -> logits = emb^T
+
+Decode is greedy at temperature 0 (whisper.transcribe's first candidate) as a
+single ``lax.while_loop`` with a preallocated KV cache — static shapes, one
+compile, batch-friendly. Weights import from the OpenAI ``base.pt`` layout;
+without them the module runs with random weights for pipeline tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 80
+    n_vocab: int = 51865
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 512
+    n_audio_head: int = 8
+    n_audio_layer: int = 6
+    n_text_ctx: int = 448
+    n_text_state: int = 512
+    n_text_head: int = 8
+    n_text_layer: int = 6
+
+    # special tokens (multilingual vocab)
+    @property
+    def sot(self):
+        return 50258
+
+    @property
+    def eot(self):
+        return 50257
+
+    @property
+    def token_transcribe(self):
+        return 50359
+
+    @property
+    def token_notimestamps(self):
+        return 50363
+
+    @property
+    def token_lang_en(self):
+        return 50259
+
+
+# ---- audio frontend -------------------------------------------------------
+
+_WHISPER_N_FFT, _WHISPER_HOP = 400, 160
+
+
+def whisper_log_mel(wav: jnp.ndarray, n_mels: int = 80, n_frames: int = 3000) -> jnp.ndarray:
+    """[B, T]@16k (padded/trimmed to 30 s) -> [B, n_frames, n_mels].
+
+    Whisper's frontend: hann-window STFT, mel, log10, max-normalized clamp.
+    """
+    from cse_tpu.models.ecapa import _mel_matrix
+
+    B = wav.shape[0]
+    T = n_frames * _WHISPER_HOP
+    wav = jnp.pad(wav[:, :T], ((0, 0), (0, max(0, T - wav.shape[1]))))
+    wav = jnp.pad(wav, ((0, 0), (_WHISPER_N_FFT // 2, _WHISPER_N_FFT // 2)), mode="reflect")
+    idx = jnp.arange(_WHISPER_N_FFT)[None, :] + _WHISPER_HOP * jnp.arange(n_frames)[:, None]
+    frames = wav[:, idx]
+    window = jnp.asarray(np.hanning(_WHISPER_N_FFT + 1)[:-1].astype(np.float32))
+    spec = jnp.fft.rfft(frames * window[None, None, :], axis=-1)
+    power = (spec.real**2 + spec.imag**2).astype(jnp.float32)
+    mel = power @ jnp.asarray(_mel_matrix(n_mels, _WHISPER_N_FFT, 16000, 0.0, 8000.0))
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    log_spec = jnp.maximum(
+        log_spec, log_spec.max(axis=(1, 2), keepdims=True) - 8.0
+    )
+    return (log_spec + 4.0) / 4.0
+
+
+# ---- transformer pieces ---------------------------------------------------
+
+
+def _ln(x, p):
+    xf = x.astype(jnp.float32)
+    m = xf.mean(-1, keepdims=True)
+    v = xf.var(-1, keepdims=True)
+    return ((xf - m) * jax.lax.rsqrt(v + 1e-5) * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _attn(q, k, v, n_head, causal_bias=None):
+    B, Tq, D = q.shape
+    Tk = k.shape[1]
+    hd = D // n_head
+    q = q.reshape(B, Tq, n_head, hd).transpose(0, 2, 1, 3) * (hd**-0.25)
+    k = k.reshape(B, Tk, n_head, hd).transpose(0, 2, 1, 3) * (hd**-0.25)
+    v = v.reshape(B, Tk, n_head, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    if causal_bias is not None:
+        logits = logits + causal_bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    return out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
+
+
+def _mha(x, p, n_head, kv=None, causal_bias=None):
+    src = x if kv is None else kv
+    q = x @ p["q_w"] + p["q_b"]
+    k = src @ p["k_w"]
+    v = src @ p["v_w"] + p["v_b"]
+    out = _attn(q, k, v, n_head, causal_bias)
+    return out @ p["o_w"] + p["o_b"]
+
+
+def _mlp(x, p):
+    return jax.nn.gelu(x @ p["w1"] + p["b1"], approximate=False) @ p["w2"] + p["b2"]
+
+
+def _sinusoids(length: int, channels: int) -> np.ndarray:
+    log_timescale = math.log(10000) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+def whisper_encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
+    """mel [B, 3000, n_mels] -> audio features [B, 1500, D]."""
+    x = jax.nn.gelu(
+        jax.lax.conv_general_dilated(
+            mel, params["conv1_w"], (1,), [(1, 1)], dimension_numbers=("NHC", "HIO", "NHC")
+        )
+        + params["conv1_b"],
+        approximate=False,
+    )
+    x = jax.nn.gelu(
+        jax.lax.conv_general_dilated(
+            x, params["conv2_w"], (2,), [(1, 1)], dimension_numbers=("NHC", "HIO", "NHC")
+        )
+        + params["conv2_b"],
+        approximate=False,
+    )
+    x = x + jnp.asarray(_sinusoids(cfg.n_audio_ctx, cfg.n_audio_state))
+
+    def layer(x, lp):
+        x = x + _mha(_ln(x, lp["ln1"]), lp["attn"], cfg.n_audio_head)
+        x = x + _mlp(_ln(x, lp["ln2"]), lp["mlp"])
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, params["enc_layers"])
+    return _ln(x, params["enc_ln_post"])
+
+
+def _decoder_step(params, cfg, tokens, pos, kv_cache, audio_kv):
+    """One decoder position with cached self-attn K/V.
+
+    tokens: [B] current token; pos: scalar position; kv_cache: dict of
+    [n_layer, B, n_text_ctx, D] K/V buffers; audio_kv: precomputed cross K/V.
+    Returns (logits [B, V], new kv_cache).
+    """
+    B = tokens.shape[0]
+    D, H = cfg.n_text_state, cfg.n_text_head
+    x = params["tok_emb"][tokens] + params["pos_emb"][pos]  # [B, D]
+    x = x[:, None, :]  # [B, 1, D]
+
+    new_k, new_v = [], []
+    for li in range(cfg.n_text_layer):
+        lp = jax.tree.map(lambda a: a[li], params["dec_layers"])
+        h = _ln(x, lp["ln1"])
+        q = h @ lp["attn"]["q_w"] + lp["attn"]["q_b"]
+        k_new = h @ lp["attn"]["k_w"]
+        v_new = h @ lp["attn"]["v_w"] + lp["attn"]["v_b"]
+        k_buf = jax.lax.dynamic_update_slice(kv_cache["k"][li], k_new, (0, pos, 0))
+        v_buf = jax.lax.dynamic_update_slice(kv_cache["v"][li], v_new, (0, pos, 0))
+        new_k.append(k_buf)
+        new_v.append(v_buf)
+        mask = (jnp.arange(cfg.n_text_ctx) <= pos)[None, None, None, :]
+        bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+        attn = _attn_cached(q, k_buf, v_buf, H, bias)
+        x = x + (attn @ lp["attn"]["o_w"] + lp["attn"]["o_b"])
+        h = _ln(x, lp["ln2"])
+        qc = h @ lp["cross"]["q_w"] + lp["cross"]["q_b"]
+        ca = _attn_cached(qc, audio_kv["k"][li], audio_kv["v"][li], H, None)
+        x = x + (ca @ lp["cross"]["o_w"] + lp["cross"]["o_b"])
+        x = x + _mlp(_ln(x, lp["ln3"]), lp["mlp"])
+    x = _ln(x, params["dec_ln"])
+    logits = (x[:, 0] @ params["tok_emb"].T).astype(jnp.float32)
+    return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+
+
+def _attn_cached(q, k, v, n_head, bias):
+    B, Tq, D = q.shape
+    Tk = k.shape[1]
+    hd = D // n_head
+    qh = q.reshape(B, Tq, n_head, hd).transpose(0, 2, 1, 3) * (hd**-0.25)
+    kh = k.reshape(B, Tk, n_head, hd).transpose(0, 2, 1, 3) * (hd**-0.25)
+    vh = v.reshape(B, Tk, n_head, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    return out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_tokens"))
+def whisper_greedy_decode(
+    params: dict,
+    mel: jnp.ndarray,
+    cfg: WhisperConfig,
+    max_tokens: int = 224,
+    language_token: int | None = None,
+):
+    """Greedy transcription. Returns (tokens [B, max_tokens], lengths [B]).
+
+    Prompt = [SOT, lang, transcribe, notimestamps] (whisper.transcribe with
+    temperature 0, timestamps suppressed); stops at EOT per sequence.
+    """
+    B = mel.shape[0]
+    audio = whisper_encode(params, mel, cfg)  # [B, 1500, D]
+
+    # precompute cross-attention K/V per layer
+    ak, av = [], []
+    for li in range(cfg.n_text_layer):
+        lp = jax.tree.map(lambda a: a[li], params["dec_layers"])
+        ak.append(audio @ lp["cross"]["k_w"])
+        av.append(audio @ lp["cross"]["v_w"] + lp["cross"]["v_b"])
+    audio_kv = {"k": jnp.stack(ak), "v": jnp.stack(av)}
+
+    lang = cfg.token_lang_en if language_token is None else language_token
+    prompt = jnp.asarray([cfg.sot, lang, cfg.token_transcribe, cfg.token_notimestamps])
+    P = prompt.shape[0]
+
+    D = cfg.n_text_state
+    kv0 = {
+        "k": jnp.zeros((cfg.n_text_layer, B, cfg.n_text_ctx, D), audio.dtype),
+        "v": jnp.zeros((cfg.n_text_layer, B, cfg.n_text_ctx, D), audio.dtype),
+    }
+    out0 = jnp.full((B, max_tokens), cfg.eot, jnp.int32)
+
+    def cond(state):
+        i, _, _, _, done = state
+        return (i < P + max_tokens - 1) & (~jnp.all(done))
+
+    def body(state):
+        i, tok, kv, out, done = state
+        logits, kv = _decoder_step(params, cfg, tok, i, kv, audio_kv)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        in_prompt = i + 1 < P
+        nxt = jnp.where(in_prompt, jnp.full_like(nxt, prompt[jnp.minimum(i + 1, P - 1)]), nxt)
+        nxt = jnp.where(done & ~in_prompt, cfg.eot, nxt)
+        out = jax.lax.cond(
+            in_prompt,
+            lambda o: o,
+            lambda o: jax.lax.dynamic_update_slice(o, nxt[:, None], (0, i + 1 - P)),
+            out,
+        )
+        done = done | (~in_prompt & (nxt == cfg.eot))
+        return i + 1, nxt, kv, out, done
+
+    state = (
+        jnp.asarray(0),
+        jnp.full((B,), cfg.sot, jnp.int32),
+        kv0,
+        out0,
+        jnp.zeros((B,), bool),
+    )
+    _, _, _, out, _ = jax.lax.while_loop(cond, body, state)
+    lengths = jnp.argmax(out == cfg.eot, axis=-1)
+    lengths = jnp.where(jnp.any(out == cfg.eot, axis=-1), lengths, max_tokens)
+    return out, lengths
+
+
+# ---- weight import (OpenAI whisper checkpoint layout) ----------------------
+
+
+def _lin(sd, name):
+    w = np.asarray(sd[f"{name}.weight"], np.float32).T
+    b = sd.get(f"{name}.bias")
+    return w, (np.asarray(b, np.float32) if b is not None else None)
+
+
+def whisper_from_state_dict(sd: dict, cfg: WhisperConfig) -> dict:
+    """Map an OpenAI whisper ``base.pt`` model state_dict onto our tree."""
+
+    def ln(name):
+        return {
+            "scale": np.asarray(sd[f"{name}.weight"], np.float32),
+            "bias": np.asarray(sd[f"{name}.bias"], np.float32),
+        }
+
+    def attn(prefix):
+        qw, qb = _lin(sd, f"{prefix}.query")
+        kw, _ = _lin(sd, f"{prefix}.key")
+        vw, vb = _lin(sd, f"{prefix}.value")
+        ow, ob = _lin(sd, f"{prefix}.out")
+        return {"q_w": qw, "q_b": qb, "k_w": kw, "v_w": vw, "v_b": vb, "o_w": ow, "o_b": ob}
+
+    def mlp(prefix):
+        w1, b1 = _lin(sd, f"{prefix}.0")
+        w2, b2 = _lin(sd, f"{prefix}.2")
+        return {"w1": w1, "b1": b1, "w2": w2, "b2": b2}
+
+    def stack(items):
+        return jax.tree.map(lambda *xs: np.stack(xs), *items)
+
+    enc_layers = stack([
+        {
+            "ln1": ln(f"encoder.blocks.{i}.attn_ln"),
+            "attn": attn(f"encoder.blocks.{i}.attn"),
+            "ln2": ln(f"encoder.blocks.{i}.mlp_ln"),
+            "mlp": mlp(f"encoder.blocks.{i}.mlp"),
+        }
+        for i in range(cfg.n_audio_layer)
+    ])
+    dec_layers = stack([
+        {
+            "ln1": ln(f"decoder.blocks.{i}.attn_ln"),
+            "attn": attn(f"decoder.blocks.{i}.attn"),
+            "ln2": ln(f"decoder.blocks.{i}.cross_attn_ln"),
+            "cross": attn(f"decoder.blocks.{i}.cross_attn"),
+            "ln3": ln(f"decoder.blocks.{i}.mlp_ln"),
+            "mlp": mlp(f"decoder.blocks.{i}.mlp"),
+        }
+        for i in range(cfg.n_text_layer)
+    ])
+    return {
+        "conv1_w": np.asarray(sd["encoder.conv1.weight"], np.float32).transpose(2, 1, 0),
+        "conv1_b": np.asarray(sd["encoder.conv1.bias"], np.float32),
+        "conv2_w": np.asarray(sd["encoder.conv2.weight"], np.float32).transpose(2, 1, 0),
+        "conv2_b": np.asarray(sd["encoder.conv2.bias"], np.float32),
+        "enc_layers": enc_layers,
+        "enc_ln_post": ln("encoder.ln_post"),
+        "tok_emb": np.asarray(sd["decoder.token_embedding.weight"], np.float32),
+        "pos_emb": np.asarray(sd["decoder.positional_embedding"], np.float32),
+        "dec_layers": dec_layers,
+        "dec_ln": ln("decoder.ln"),
+    }
+
+
+def random_whisper_params(cfg: WhisperConfig, seed: int = 0) -> dict:
+    """Random weights (pipeline tests without the released checkpoint)."""
+    rng = np.random.default_rng(seed)
+
+    def lin(din, dout, bias=True):
+        return (
+            (rng.standard_normal((din, dout)) / math.sqrt(din)).astype(np.float32),
+            np.zeros(dout, np.float32) if bias else None,
+        )
+
+    def ln():
+        return {"scale": np.ones(cfg.n_audio_state, np.float32),
+                "bias": np.zeros(cfg.n_audio_state, np.float32)}
+
+    D = cfg.n_audio_state
+
+    def attn():
+        qw, qb = lin(D, D)
+        kw, _ = lin(D, D)
+        vw, vb = lin(D, D)
+        ow, ob = lin(D, D)
+        return {"q_w": qw, "q_b": qb, "k_w": kw, "v_w": vw, "v_b": vb, "o_w": ow, "o_b": ob}
+
+    def mlp():
+        w1, b1 = lin(D, 4 * D)
+        w2, b2 = lin(4 * D, D)
+        return {"w1": w1, "b1": b1, "w2": w2, "b2": b2}
+
+    def stack(n, f):
+        return jax.tree.map(lambda *xs: np.stack(xs), *[f() for _ in range(n)])
+
+    return {
+        "conv1_w": (rng.standard_normal((3, cfg.n_mels, D)) * 0.05).astype(np.float32),
+        "conv1_b": np.zeros(D, np.float32),
+        "conv2_w": (rng.standard_normal((3, D, D)) * 0.05).astype(np.float32),
+        "conv2_b": np.zeros(D, np.float32),
+        "enc_layers": stack(cfg.n_audio_layer, lambda: {
+            "ln1": ln(), "attn": attn(), "ln2": ln(), "mlp": mlp()}),
+        "enc_ln_post": ln(),
+        "tok_emb": (rng.standard_normal((cfg.n_vocab, D)) * 0.02).astype(np.float32),
+        "pos_emb": (rng.standard_normal((cfg.n_text_ctx, D)) * 0.02).astype(np.float32),
+        "dec_layers": stack(cfg.n_text_layer, lambda: {
+            "ln1": ln(), "attn": attn(), "ln2": ln(), "cross": attn(),
+            "ln3": ln(), "mlp": mlp()}),
+        "dec_ln": ln(),
+    }
+
+
+class WhisperASR:
+    """Batch transcriber: wav [B, T]@16k -> list of token-id lists."""
+
+    def __init__(self, weights_path: str | None = None, cfg: WhisperConfig | None = None,
+                 params: dict | None = None):
+        self.cfg = cfg or WhisperConfig()
+        if params is None and weights_path is not None:
+            import torch
+
+            blob = torch.load(weights_path, map_location="cpu", weights_only=False)
+            sd = blob["model_state_dict"] if "model_state_dict" in blob else blob
+            sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+            params = whisper_from_state_dict(sd, self.cfg)
+        if params is None:
+            params = random_whisper_params(self.cfg)
+        self.params = jax.tree.map(jnp.asarray, params)
+
+    def transcribe_tokens(self, wav16k: jnp.ndarray, max_tokens: int = 224):
+        mel = whisper_log_mel(
+            wav16k, self.cfg.n_mels, n_frames=self.cfg.n_audio_ctx * 2
+        )
+        toks, lens = whisper_greedy_decode(
+            self.params, mel, self.cfg, max_tokens=max_tokens
+        )
+        return np.asarray(toks), np.asarray(lens)

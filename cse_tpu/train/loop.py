@@ -1,0 +1,297 @@
+"""Generic trainer driving every CSE variant (the reference's L5 layer).
+
+One ``train_net(args, variant)`` replaces the three copy-pasted 700-line
+reference trainers (``train_ContSep.py`` / ``train_ContExt.py`` /
+``train_HContExt.py``), preserving their operational behavior:
+
+* smoke ``validate(fast_validate=True)`` before training ("debug the
+  pipeline", reference ``train_ContSep.py:282``)
+* per-100-iter wall-clock + lr prints; loss prints every 100 steps
+* validation every ``--eval_step`` with checkpoint + rolling Best
+* ``--tot_iters`` stop (clean exit here, not the reference's assert-crash)
+* warm start from released PyTorch ckpts or resume from orbax state
+
+and the TPU-native execution model: one jitted SPMD program per step (device
+synthesis -> frozen ctx encoder -> fwd/bwd -> update), host threads only
+decode and tokenize.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cse_tpu.compat.torch_import import sepformer_from_state_dict
+from cse_tpu.core.mesh import make_mesh, shard_batch
+from cse_tpu.data import datasets as ds
+from cse_tpu.data.pipeline import EvalLoader, PipelineConfig, TrainLoader, prefetch
+from cse_tpu.data.tokenizer import load_tokenizer
+from cse_tpu.models import Sepformer, SepformerConfig
+from cse_tpu.models.context_encoder import build_context_encoder
+from cse_tpu.ops.losses import si_snr
+from cse_tpu.train import checkpoint as ckpt_lib
+from cse_tpu.train.optimizer import build_optimizer
+from cse_tpu.train.schedules import (
+    ReduceLROnPlateau,
+    cosine_warmup_schedule,
+    linear_warmup_schedule,
+)
+from cse_tpu.train.step import TrainConfig, make_eval_step, make_train_step
+
+
+def _corpus_paths(args) -> ds.CorpusPaths:
+    return ds.CorpusPaths(
+        dailytalk=args.dailytalk_data_path,
+        spokenwoz=args.spokenwoz_data_path,
+        tedlium=args.tedlium_data_path,
+        demand=args.acoustic_noise_path,
+        lists_root=getattr(args, "lists_root", "./data"),
+    )
+
+
+def setup_synthetic(args):
+    """--synthetic_smoke: build a tiny corpus and retarget the flags at it."""
+    import tempfile
+
+    from cse_tpu.data.synthetic import make_synthetic_corpus
+
+    root = tempfile.mkdtemp(prefix="cse_synth_")
+    info = make_synthetic_corpus(root, num_test_mix=args.num_test_mix)
+    args.train_data = "dailytalk"
+    args.dailytalk_data_path = info["dailytalk_data_path"]
+    args.acoustic_noise_path = info["acoustic_noise_path"]
+    args.lists_root = info["lists_root"]
+    args.llama_path = "__none__"  # force the stub encoder
+    print(f"[cse_tpu] synthetic corpus at {root}")
+    return args
+
+
+def build_model(args, variant: str) -> tuple[Sepformer, TrainConfig]:
+    if variant == "contsep" and args.train_data == "dailytalk":
+        args.ce = False  # forced, reference train_ContSep.py:167-168
+    use_ce = bool(args.ce) if variant == "contsep" else True
+    cfg = SepformerConfig(
+        num_spks=args.num_max_mix,
+        variant="context" if variant == "hcontext" else variant,
+        add_se=variant == "hcontext",
+        ce=use_ce,
+        compute_dtype=jnp.bfloat16 if (args.bf16 or args.fp16) else jnp.float32,
+        remat=None if args.remat == "none" else args.remat,
+        use_flash_attention=args.flash_attention,
+    )
+    tcfg = TrainConfig(
+        variant=variant,
+        num_spks=args.num_max_mix,
+        ctx_weight=args.ctx_weight,
+        use_ce=use_ce,
+    )
+    return Sepformer(cfg), tcfg
+
+
+def build_schedule(args):
+    if args.warmup:
+        if args.tot_iters is not None:
+            return cosine_warmup_schedule(args.lr, args.tot_iters, args.warmup_iteration)
+        return linear_warmup_schedule(args.lr, args.warmup_iteration)
+    return args.lr
+
+
+def _pipeline_cfg(args, mode: str) -> PipelineConfig:
+    # validation uses a 30 s bucket (reference train_ContSep.py:577) except in
+    # synthetic smoke mode where the tiny corpus makes that pure padding
+    val_len = args.max_sp_len if getattr(args, "synthetic_smoke", False) else 30
+    return PipelineConfig(
+        max_sp_len=args.max_sp_len if mode != "val" else val_len,
+        sr=args.sr,
+        num_max_mix=args.num_max_mix,
+        augmentation=args.augmentation,
+        speed_perturb_ratio=tuple(args.speed_perturb_ratio),
+        shift_prob=args.shift_prob,
+        max_shift_sec=args.max_shift_sec,
+        noise_add=args.noise_add,
+        max_context_train=args.max_context_train,
+        context_length=args.context_length,
+        max_ctx_tokens=args.max_ctx_tokens,
+    )
+
+
+def train_net(args, variant: str):
+    assert variant in ("contsep", "context", "hcontext")
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.synthetic_smoke:
+        args = setup_synthetic(args)
+
+    paths = _corpus_paths(args)
+    tokenizer = load_tokenizer(args.llama_path, args.llama_auth_token)
+    mesh = make_mesh(args.mesh_data) if args.mesh_data else None
+    llm = build_context_encoder(
+        args.llama_path,
+        ctx_length=args.ctx_length if variant != "contsep" else 1,
+        auth_token=args.llama_auth_token,
+        mesh=mesh,
+    )
+
+    model, tcfg = build_model(args, variant)
+
+    files = ds.build_train_list(paths, args.train_data)
+    print(f"[cse_tpu] {len(files)} training utterances ({args.train_data})")
+    train_loader = TrainLoader(
+        files,
+        _pipeline_cfg(args, "train"),
+        tokenizer,
+        args.train_data,
+        args.batch_size,
+        demand_files=ds.demand_noise_list(paths) if args.noise_add else None,
+        seed=args.seed,
+        num_workers=args.workers,
+    )
+
+    # ---- init params (shape-only forward on a short clip)
+    B = args.batch_size
+    dummy_mix = jnp.zeros((B, 4000), jnp.float32)
+    dummy_ctx = jnp.zeros((B, 2 if variant == "hcontext" else args.ctx_length, 4096), jnp.float32)
+    init_kw = {}
+    if variant == "hcontext":
+        init_kw = dict(se=jnp.zeros((B, 1, 192)), cue_index=jnp.asarray(0))
+        dummy_ctx = jnp.zeros((B, args.ctx_length, 4096), jnp.float32)
+    params = model.init(jax.random.key(0), dummy_mix, dummy_ctx, **init_kw)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"[cse_tpu] Train # of params: {n_params:,}")
+
+    # ---- optimizer
+    tx = build_optimizer(
+        build_schedule(args),
+        weight_decay=args.weight_decay,
+        update_frequency=args.update_frequency,
+    )
+    opt_state = tx.init(params)
+    plateau = ReduceLROnPlateau() if args.plateau else None
+    step_num, start_epoch = args.start_step, args.start_epoch
+
+    # ---- resume / warm start (reference train_ContSep.py:179-214)
+    if args.resume and args.checkpoint is None:
+        args.checkpoint = ckpt_lib.latest_checkpoint(args.checkpoint_dir)
+        if args.checkpoint:
+            print(f"[cse_tpu] Resume with the latest checkpoint {args.checkpoint}")
+    if args.checkpoint:
+        print(f"[cse_tpu] Loading checkpoint: {args.checkpoint}")
+        restored = ckpt_lib.restore_checkpoint(
+            args.checkpoint,
+            template=None if _is_torch(args.checkpoint) else {
+                "params": params, "opt_state": opt_state, "step": 0, "epoch": 0,
+            },
+        )
+        if "state_dict" in restored:  # released PyTorch weights (warm start)
+            params = sepformer_from_state_dict(restored["state_dict"])
+            if args.from_ckpt:
+                step_num = int(restored.get("step", 0))
+                start_epoch = int(restored.get("epoch", 0))
+            opt_state = tx.init(params)
+        else:
+            params = restored["params"]
+            if args.from_ckpt:
+                opt_state = restored["opt_state"]
+                step_num = int(restored["step"])
+                start_epoch = int(restored["epoch"])
+
+    train_step = make_train_step(model, tx, tcfg, mesh=mesh, llm_apply=llm)
+    eval_step = make_eval_step(model, tcfg, llm_apply=llm)
+
+    def validate(params, fast_validate=True, epoch=0, step=0):
+        t_cap = 100 if variant == "contsep" else 5  # reference fast-val caps
+        loader = EvalLoader(
+            paths, args.train_data, "val", _pipeline_cfg(args, "val"),
+            tokenizer, args.batch_size, num_test_mix=args.num_test_mix,
+            num_workers=args.workers, seed=args.seed,
+        )
+        sisnrs, prevs, accs = [], [], []
+        for bi, batch in enumerate(loader.batches(limit_batches=t_cap if fast_validate else None)):
+            if variant == "hcontext":
+                batch["se"] = _enrollment_embeddings(batch)
+            enhanced, aux = eval_step(params, _model_batch(batch))
+            sisnrs.append(np.asarray(si_snr(enhanced, batch["gt"])))
+            prevs.append(np.asarray(si_snr(batch["mixed"], batch["gt"])))
+        val = float(np.mean(np.concatenate(sisnrs))) if sisnrs else 0.0
+        prev = float(np.mean(np.concatenate(prevs))) if prevs else 0.0
+        print(f"## VALIDATION SI-SNR ({args.train_data}): {val:.4f} "
+              f"(SI-SNR-i {val - prev:+.4f})")
+        return val
+
+    def _model_batch(batch):
+        keys = ("mixed", "gt", "noises", "context_ids", "context_mask", "se")
+        return {k: batch[k] for k in keys if k in batch}
+
+    def _enrollment_embeddings(batch):
+        from cse_tpu.models.speaker_encoder import encode_speaker
+
+        return encode_speaker(batch.get("gt16k", batch["gt"]))
+
+    # smoke validation before training (reference :282 "debug the pipeline")
+    validate(params, fast_validate=True)
+
+    best_val = 0.0
+    print(f"[cse_tpu] starting at step {step_num}, epoch {start_epoch}")
+    stop = False
+    for epoch in range(start_epoch, args.epochs):
+        if stop:
+            break
+        print(f"Epoch [{epoch}/{args.epochs}]")
+        prev_time = time.time()
+        for i, host in enumerate(prefetch(train_loader.batches(epoch))):
+            if i % args.log_every == 0:
+                iter_time = (time.time() - prev_time) / max(args.log_every, 1)
+                prev_time = time.time()
+                print(
+                    "******** Training [%d / %d] : %d / %d, Iter Time : %.3f sec ********"
+                    % (epoch, args.epochs, (i + 1) * B, len(files), iter_time)
+                )
+            batch = train_loader.device_batch(host)
+            if variant == "hcontext":
+                batch["se"] = _enrollment_embeddings(batch)
+            batch = {k: v for k, v in batch.items() if k not in ("gt16k", "gt16k_len", "sp_len")}
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            params, opt_state, metrics = train_step(
+                params, opt_state, batch, jax.random.fold_in(jax.random.key(args.seed), step_num)
+            )
+            step_num += 1
+            if step_num % 100 == 0:
+                print(
+                    f"######## Step(Epoch): {step_num}({epoch}), "
+                    f"Loss: {float(metrics['loss']):.4f} #########"
+                )
+            if step_num % args.eval_step == 0:
+                val = validate(params, fast_validate=True, epoch=epoch, step=step_num)
+                if plateau is not None and step_num >= args.no_reduce:
+                    plateau.step(val)
+                state = {
+                    "params": params, "opt_state": opt_state,
+                    "step": step_num, "epoch": epoch,
+                }
+                print(f"Saving checkpoint for Epoch: {epoch}")
+                ckpt_lib.save_checkpoint(
+                    args.checkpoint_dir, epoch, step_num, val, state
+                )
+                if val >= best_val:
+                    best_val = val
+                    ckpt_lib.save_checkpoint(
+                        args.checkpoint_dir, epoch, step_num, val, state, best=True
+                    )
+            if step_num - 1 == args.tot_iters:
+                print("Total Iteration Reached")  # clean stop (vs assert 1==0)
+                stop = True
+                break
+    print("Finishing training")
+    return params
+
+
+def _is_torch(path: str) -> bool:
+    from cse_tpu.train.checkpoint import _is_torch_ckpt
+
+    return _is_torch_ckpt(path)

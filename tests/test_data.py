@@ -1,0 +1,157 @@
+"""Data layer tests: audio IO roundtrip, corpus indexing/context semantics,
+tokenization budgets, and the full host->device train/eval pipeline over a
+synthetic corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cse_tpu.data import datasets as ds
+from cse_tpu.data.audio_io import read_wav, write_wav
+from cse_tpu.data.pipeline import EvalLoader, PipelineConfig, TrainLoader, prefetch
+from cse_tpu.data.synthetic import make_synthetic_corpus
+from cse_tpu.data.tokenizer import ByteTokenizer, encode_batch
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    info = make_synthetic_corpus(root, n_dialogs=3, turns_per_dialog=5, n_eval=5)
+    return info
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    x = rng.uniform(-0.9, 0.9, 8000).astype(np.float32)
+    p = str(tmp_path / "x.wav")
+    write_wav(p, x, 16000)
+    y, sr = read_wav(p)
+    assert sr == 16000 and len(y) == 8000
+    np.testing.assert_allclose(y, x, atol=1.0 / 32000)
+
+
+def test_text_process():
+    assert ds.text_process("  hello [unk]   world  ") == "hello world"
+
+
+def test_train_list_and_context(corpus):
+    paths = ds.CorpusPaths(
+        dailytalk=corpus["dailytalk_data_path"], lists_root=corpus["lists_root"]
+    )
+    files = ds.build_train_list(paths, "dailytalk")
+    assert len(files) == 15  # 3 dialogs x 5 turns
+    # first turn of a dialog: empty history -> only the next-speaker prompt
+    ctx0 = ds.assemble_context(files[0], "dailytalk", "test", context_length=0)
+    assert ctx0 == "Speaker 1: "
+    ctx_last = ds.assemble_context(files[4], "dailytalk", "test", context_length=0)
+    assert ctx_last.count("/n") == 4  # 4 history turns + prompt, '/n'-joined
+    assert "Speaker 0: " in ctx_last and "\n" not in ctx_last
+    ctx_none = ds.assemble_context(files[4], "dailytalk", "test", context_length=-1)
+    assert ctx_none.count("/n") == 0
+    ctx2 = ds.assemble_context(files[4], "dailytalk", "test", context_length=2)
+    assert ctx2.count("/n") == 2
+
+
+def test_eval_list(corpus):
+    paths = ds.CorpusPaths(dailytalk=corpus["dailytalk_data_path"])
+    mix, gt = ds.build_eval_list(paths, "dailytalk", "test")
+    assert len(mix) == 5 and len(gt) == 5
+    assert all("/mixed/" in m for m in mix) and all("/gt/" in g for g in gt)
+    assert ds.noise_paths_for(gt[0], 2)[0].count("/noise/") == 1
+
+
+def test_tokenizer_budget():
+    tok = ByteTokenizer()
+    ids, mask = encode_batch(tok, ["hi", "a much longer context string"], 8)
+    assert ids.shape == (2, 8) and mask.shape == (2, 8)
+    assert mask[0].sum() == 3  # bos + 2 bytes, left-padded
+    assert mask[1].sum() == 8  # left-truncated to budget
+    assert ids[0, :5].tolist() == [0] * 5  # pad on the left
+
+
+def test_train_pipeline_end_to_end(corpus):
+    paths = ds.CorpusPaths(
+        dailytalk=corpus["dailytalk_data_path"], lists_root=corpus["lists_root"]
+    )
+    files = ds.build_train_list(paths, "dailytalk")
+    cfg = PipelineConfig(max_sp_len=4, max_ctx_tokens=64)
+    demand = ds.demand_noise_list(ds.CorpusPaths(demand=corpus["acoustic_noise_path"]))
+    assert len(demand) == 2
+    loader = TrainLoader(
+        files, cfg, ByteTokenizer(), "dailytalk", batch_size=3,
+        demand_files=demand, seed=0, num_workers=2,
+        process_index=0, process_count=1,
+    )
+    n = 0
+    for host in prefetch(loader.batches(epoch=0)):
+        batch = loader.device_batch(host)
+        assert batch["mixed"].shape == (3, 4 * 8000)
+        assert batch["gt"].shape == (3, 4 * 8000)
+        assert batch["noises"].shape == (3, 4 * 8000, 1)
+        m = np.asarray(batch["mixed"])
+        assert np.isfinite(m).all()
+        # peak-normed to 0.9 pre-DEMAND; noise addition may push above it
+        # (faithful: the reference doesn't renormalize after F.add_noise)
+        peaks = np.abs(m).max(axis=-1)
+        assert (peaks > 0.5).all() and (peaks < 2.0).all()
+        lens = np.asarray(batch["sp_len"])
+        assert (lens > 0).all() and (lens <= 4 * 8000).all()
+        n += 1
+        if n >= 2:
+            break
+    assert n == 2
+
+
+def test_train_pipeline_deterministic(corpus):
+    paths = ds.CorpusPaths(
+        dailytalk=corpus["dailytalk_data_path"], lists_root=corpus["lists_root"]
+    )
+    files = ds.build_train_list(paths, "dailytalk")
+    cfg = PipelineConfig(max_sp_len=2, noise_add=False, max_ctx_tokens=32)
+
+    def first_batch():
+        loader = TrainLoader(
+            files, cfg, ByteTokenizer(), "dailytalk", batch_size=2, seed=7,
+            num_workers=2, process_index=0, process_count=1,
+        )
+        return next(iter(loader.batches(epoch=0)))
+
+    a, b = first_batch(), first_batch()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_host_sharding_disjoint(corpus):
+    paths = ds.CorpusPaths(
+        dailytalk=corpus["dailytalk_data_path"], lists_root=corpus["lists_root"]
+    )
+    files = ds.build_train_list(paths, "dailytalk")
+    cfg = PipelineConfig(max_sp_len=2)
+    shards = []
+    for pi in range(2):
+        loader = TrainLoader(
+            files, cfg, ByteTokenizer(), "dailytalk", batch_size=2, seed=3,
+            process_index=pi, process_count=2,
+        )
+        shards.append(set(loader.epoch_indices(0)))
+    assert shards[0].isdisjoint(shards[1])
+    assert len(shards[0] | shards[1]) == len(files)
+
+
+def test_eval_loader(corpus):
+    paths = ds.CorpusPaths(dailytalk=corpus["dailytalk_data_path"])
+    cfg = PipelineConfig(max_sp_len=4, max_ctx_tokens=64)
+    loader = EvalLoader(
+        paths, "dailytalk", "test", cfg, ByteTokenizer(), batch_size=2,
+        num_workers=2,
+    )
+    batches = list(loader.batches())
+    assert sum(b["mixed"].shape[0] for b in batches) == 5
+    b0 = batches[0]
+    assert b0["mixed"].shape[1] == 4 * 8000
+    assert len(b0["names"]) == 2 and b0["names"][0].endswith("-mix")
+    # gt must correlate with mixed (they share the source)
+    m, g = np.asarray(b0["mixed"][0]), np.asarray(b0["gt"][0])
+    n = int(b0["sp_len"][0])
+    corr = np.corrcoef(m[:n], g[:n])[0, 1]
+    assert corr > 0.3, corr

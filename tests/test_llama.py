@@ -1,0 +1,99 @@
+"""Llama-3 JAX forward vs transformers (torch CPU) on a tiny random model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from cse_tpu.models.llama import LlamaContextEncoder, llama_forward, load_llama_params
+
+
+@pytest.fixture(scope="module")
+def tiny_llama(tmp_path_factory):
+    from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    cfg = HFConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = LlamaForCausalLM(cfg).eval()
+    d = tmp_path_factory.mktemp("llama")
+    model.save_pretrained(str(d), safe_serialization=True)
+    return model, str(d)
+
+
+def _inputs():
+    ids = np.array(
+        [[1, 5, 9, 17, 33, 64], [0, 0, 1, 7, 21, 99]], dtype=np.int32
+    )
+    mask = np.array([[1, 1, 1, 1, 1, 1], [0, 0, 1, 1, 1, 1]], dtype=np.int32)
+    return ids, mask
+
+
+def test_hidden_state_parity(tiny_llama):
+    model, path = tiny_llama
+    params, cfg = load_llama_params(path, dtype=jnp.float32)
+    ids, mask = _inputs()
+    ours = np.asarray(llama_forward(params, jnp.asarray(ids), jnp.asarray(mask), cfg))
+    with torch.no_grad():
+        ref = model.model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).last_hidden_state.numpy()
+    # compare only valid (non-pad) positions
+    m = mask.astype(bool)
+    np.testing.assert_allclose(ours[m], ref[m], rtol=2e-4, atol=2e-4)
+
+
+def test_logits_parity(tiny_llama):
+    model, path = tiny_llama
+    params, cfg = load_llama_params(path, dtype=jnp.float32)
+    ids, mask = _inputs()
+    ours = np.asarray(
+        llama_forward(params, jnp.asarray(ids), jnp.asarray(mask), cfg, return_logits=True)
+    )
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).logits.numpy()
+    m = mask.astype(bool)
+    np.testing.assert_allclose(ours[m], ref[m], rtol=3e-4, atol=3e-4)
+
+
+def test_context_encoder_interface(tiny_llama):
+    _, path = tiny_llama
+    enc = LlamaContextEncoder(path, ctx_length=2, dtype=jnp.float32)
+    ids, mask = _inputs()
+    out = enc(jnp.asarray(ids), jnp.asarray(mask))
+    assert out.shape == (2, 2, 32) and out.dtype == jnp.float32
+
+
+def test_tensor_parallel_matches_single(tiny_llama):
+    """TP-sharded forward over a 4-way model mesh == unsharded forward."""
+    _, path = tiny_llama
+    from cse_tpu.core.mesh import make_mesh
+
+    params, cfg = load_llama_params(path, dtype=jnp.float32)
+    ids, mask = _inputs()
+    ref = np.asarray(llama_forward(params, jnp.asarray(ids), jnp.asarray(mask), cfg))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    params_tp, _ = load_llama_params(path, dtype=jnp.float32, mesh=mesh)
+    out = np.asarray(
+        jax.jit(lambda p, i, m: llama_forward(p, i, m, cfg))(
+            params_tp, jnp.asarray(ids), jnp.asarray(mask)
+        )
+    )
+    m = mask.astype(bool)
+    np.testing.assert_allclose(out[m], ref[m], rtol=1e-4, atol=1e-4)

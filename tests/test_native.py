@@ -1,0 +1,63 @@
+"""Native C++ audio runtime: build, decode parity vs Python, batch loader."""
+
+import numpy as np
+import pytest
+
+from cse_tpu.data.audio_io import _read_wav_py, write_wav
+from cse_tpu.native import audio_native
+
+
+@pytest.fixture(scope="module")
+def built():
+    if not audio_native.available():
+        pytest.skip("native toolchain unavailable")
+    return True
+
+
+def _make_wavs(tmp_path, rng, n=4, sr=16000):
+    paths = []
+    for i in range(n):
+        x = rng.uniform(-0.8, 0.8, 4000 + i * 500).astype(np.float32)
+        p = str(tmp_path / f"{i}.wav")
+        write_wav(p, x, sr)
+        paths.append(p)
+    return paths
+
+
+def test_native_read_matches_python(built, tmp_path, rng):
+    paths = _make_wavs(tmp_path, rng, n=2)
+    for p in paths:
+        nx, nsr = audio_native.read_wav(p)
+        px, psr = _read_wav_py(p)
+        assert nsr == psr
+        np.testing.assert_allclose(nx, px, atol=1e-7)
+
+
+def test_native_write_read_roundtrip(built, tmp_path, rng):
+    x = rng.uniform(-0.9, 0.9, 5000).astype(np.float32)
+    p = str(tmp_path / "rt.wav")
+    assert audio_native.write_wav(p, x, 8000)
+    y, sr = _read_wav_py(p)
+    assert sr == 8000
+    np.testing.assert_allclose(y, x, atol=1.0 / 32000)
+
+
+def test_batch_load(built, tmp_path, rng):
+    paths = _make_wavs(tmp_path, rng, n=6)
+    buf = np.zeros((6, 4500), np.float32)
+    lens, srs = audio_native.batch_load(paths, buf, peak_target=0.9, n_threads=3)
+    assert (srs == 16000).all()
+    expect = [min(4000 + i * 500, 4500) for i in range(6)]
+    assert lens.tolist() == expect
+    # peak-normalized rows
+    for i in range(6):
+        assert abs(np.abs(buf[i, : lens[i]]).max() - 0.9) < 1e-3
+    # zero padding beyond length
+    assert np.all(buf[0, lens[0]:] == 0)
+
+
+def test_batch_load_missing_file(built, tmp_path, rng):
+    paths = _make_wavs(tmp_path, rng, n=1) + [str(tmp_path / "nope.wav")]
+    buf = np.zeros((2, 4000), np.float32)
+    lens, srs = audio_native.batch_load(paths, buf)
+    assert lens[0] > 0 and lens[1] == 0
