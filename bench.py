@@ -53,7 +53,7 @@ def main():
         B, T = 2, 2000
     else:
         cfg = SepformerConfig(
-            variant="context", num_spks=2, compute_dtype=jnp.bfloat16, remat=True
+            variant="context", num_spks=2, compute_dtype=jnp.bfloat16, remat="layer"
         )
         B, T = args.batch, int(args.seconds * args.sr)
 

@@ -141,6 +141,30 @@ def synthesize_batch(cfg: PipelineConfig, host: dict) -> dict:
     return out
 
 
+@partial(jax.jit, static_argnames=("min_s", "max_s", "sr"))
+def crop_enrollment(
+    gt16k: jnp.ndarray,
+    lengths: jnp.ndarray,
+    key: jax.Array,
+    min_s: int = 1,
+    max_s: int = 5,
+    sr: int = 16000,
+):
+    """Random 1-5 s enrollment crop of the pre-mix source (H-ContExt train,
+    reference ``dataset_train_CSE.py:377-379``). Returns [B, max_s*sr] zero-
+    padded crops."""
+    B, T = gt16k.shape
+    k1, k2 = jax.random.split(key)
+    emb_len = jax.random.randint(k1, (B,), min_s, max_s + 1) * sr
+    emb_len = jnp.minimum(emb_len, jnp.maximum(lengths, 1))
+    max_start = jnp.maximum(lengths - emb_len, 0)
+    start = (jax.random.uniform(k2, (B,)) * (max_start + 1)).astype(jnp.int32)
+    pos = jnp.arange(max_s * sr)[None, :]
+    idx = jnp.minimum(start[:, None] + pos, T - 1)
+    out = jnp.take_along_axis(gt16k, idx, axis=1)
+    return out * (pos < emb_len[:, None]).astype(gt16k.dtype)
+
+
 @partial(jax.jit, static_argnames=("sr",))
 def resample_eval_batch(sr: int, host: dict) -> dict:
     """Eval path: premixed 16 kHz wavs -> model rate (reference ``:393-398``)."""
@@ -197,6 +221,9 @@ class TrainLoader:
         self.pool = ThreadPoolExecutor(num_workers)
         self.pi = process_index if process_index is not None else jax.process_index()
         self.pc = process_count if process_count is not None else jax.process_count()
+
+    def close(self):
+        self.pool.shutdown(wait=False, cancel_futures=True)
 
     def epoch_indices(self, epoch: int) -> list[int]:
         rng = random.Random(f"{self.seed}-{epoch}")
@@ -331,6 +358,9 @@ class EvalLoader:
         self.B = batch_size
         self.num_test_mix = num_test_mix
         self.pool = ThreadPoolExecutor(num_workers)
+
+    def close(self):
+        self.pool.shutdown(wait=False, cancel_futures=True)
 
     def __len__(self):
         return len(self.mix_paths)

@@ -42,6 +42,8 @@ from cse_tpu.train.schedules import (
     linear_warmup_schedule,
 )
 from cse_tpu.train.step import TrainConfig, make_eval_step, make_train_step
+from cse_tpu.utils.logging import IterTimer, MetricLogger
+from cse_tpu.utils.profiling import profile_dir_from_env, trace_if
 
 
 def _corpus_paths(args) -> ds.CorpusPaths:
@@ -203,6 +205,13 @@ def train_net(args, variant: str):
     train_step = make_train_step(model, tx, tcfg, mesh=mesh, llm_apply=llm)
     eval_step = make_eval_step(model, tcfg, llm_apply=llm)
 
+    schedule = build_schedule(args)
+    writer = MetricLogger(
+        args.checkpoint_dir, args.project,
+        enabled=jax.process_index() == 0, config=vars(args),
+    )
+    profile_dir = profile_dir_from_env()
+
     def validate(params, fast_validate=True, epoch=0, step=0):
         t_cap = 100 if variant == "contsep" else 5  # reference fast-val caps
         loader = EvalLoader(
@@ -217,20 +226,32 @@ def train_net(args, variant: str):
             enhanced, aux = eval_step(params, _model_batch(batch))
             sisnrs.append(np.asarray(si_snr(enhanced, batch["gt"])))
             prevs.append(np.asarray(si_snr(batch["mixed"], batch["gt"])))
+        loader.close()
         val = float(np.mean(np.concatenate(sisnrs))) if sisnrs else 0.0
         prev = float(np.mean(np.concatenate(prevs))) if prevs else 0.0
         print(f"## VALIDATION SI-SNR ({args.train_data}): {val:.4f} "
               f"(SI-SNR-i {val - prev:+.4f})")
+        if step:
+            writer.scalar(f"val_{args.train_data}/SI-SNR", val, step)
+            writer.scalar(f"val_{args.train_data}/SI-SNR-I", val - prev, step)
         return val
 
     def _model_batch(batch):
         keys = ("mixed", "gt", "noises", "context_ids", "context_mask", "se")
         return {k: batch[k] for k in keys if k in batch}
 
-    def _enrollment_embeddings(batch):
+    def _enrollment_embeddings(batch, step=0):
+        from cse_tpu.data.pipeline import crop_enrollment
         from cse_tpu.models.speaker_encoder import encode_speaker
 
-        return encode_speaker(batch.get("gt16k", batch["gt"]))
+        if "gt16k" in batch:  # training: random 1-5 s crop of the pre-mix gt
+            wav = crop_enrollment(
+                batch["gt16k"], batch["gt16k_len"],
+                jax.random.fold_in(jax.random.key(args.seed + 1), step),
+            )
+        else:
+            wav = batch["gt"]
+        return encode_speaker(wav)
 
     # smoke validation before training (reference :282 "debug the pipeline")
     validate(params, fast_validate=True)
@@ -253,14 +274,22 @@ def train_net(args, variant: str):
                 )
             batch = train_loader.device_batch(host)
             if variant == "hcontext":
-                batch["se"] = _enrollment_embeddings(batch)
+                batch["se"] = _enrollment_embeddings(batch, step_num)
             batch = {k: v for k, v in batch.items() if k not in ("gt16k", "gt16k_len", "sp_len")}
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
-            params, opt_state, metrics = train_step(
-                params, opt_state, batch, jax.random.fold_in(jax.random.key(args.seed), step_num)
-            )
+            with trace_if(profile_dir, step_num):
+                params, opt_state, metrics = train_step(
+                    params, opt_state, batch,
+                    jax.random.fold_in(jax.random.key(args.seed), step_num),
+                )
             step_num += 1
+            if writer.tb is not None or writer.wandb is not None:
+                vals = {k: float(v) for k, v in metrics.items()}
+                writer.scalars(vals, step_num, prefix="train/")
+                writer.scalar("train/SI-SNR", -vals.get("snr_loss", 0.0), step_num)
+                lr = schedule(step_num) if callable(schedule) else schedule
+                writer.scalar("lr/learning_rate", float(lr), step_num)
             if step_num % 100 == 0:
                 print(
                     f"######## Step(Epoch): {step_num}({epoch}), "
@@ -288,6 +317,8 @@ def train_net(args, variant: str):
                 stop = True
                 break
     print("Finishing training")
+    train_loader.close()
+    writer.close()
     return params
 
 
