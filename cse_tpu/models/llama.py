@@ -221,6 +221,41 @@ def _lookup(tree: dict, path) -> NamedSharding:
     return node
 
 
+def random_llama_params(cfg: LlamaConfig, dtype=jnp.float32, mesh=None, seed: int = 0) -> dict:
+    """Random-init params in the stacked layout (tests / sharding dryruns)."""
+    rng = np.random.default_rng(seed)
+    D, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    H, KV, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    def w(*shape, scale=None):
+        scale = scale or 1.0 / np.sqrt(shape[-2] if len(shape) > 1 else shape[0])
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    params = {
+        "embed": w(cfg.vocab_size, D, scale=0.02),
+        "final_ln": np.ones(D, np.float32),
+        "lm_head": w(D, cfg.vocab_size),
+        "layers": {
+            "input_ln": np.ones((L, D), np.float32),
+            "post_ln": np.ones((L, D), np.float32),
+            "q": w(L, D, H * dh),
+            "k": w(L, D, KV * dh),
+            "v": w(L, D, KV * dh),
+            "o": w(L, H * dh, D),
+            "gate": w(L, D, I),
+            "up": w(L, D, I),
+            "down": w(L, I, D),
+        },
+    }
+    shardings = llama_shardings(mesh) if mesh is not None else None
+
+    def put(pth, x):
+        x = jnp.asarray(x, dtype)
+        return x if shardings is None else jax.device_put(x, _lookup(shardings, pth))
+
+    return jax.tree_util.tree_map_with_path(lambda p, x: put(p, x), params)
+
+
 class LlamaContextEncoder:
     """Frozen Llama prefill -> last ``ctx_length`` hidden states [B, Tc, 4096].
 
