@@ -220,12 +220,38 @@ def train_net(args, variant: str):
             num_workers=args.workers, seed=args.seed,
         )
         sisnrs, prevs, accs = [], [], []
+        dumped = 0
         for bi, batch in enumerate(loader.batches(limit_batches=t_cap if fast_validate else None)):
             if variant == "hcontext":
                 batch["se"] = _enrollment_embeddings(batch)
             enhanced, aux = eval_step(params, _model_batch(batch))
             sisnrs.append(np.asarray(si_snr(enhanced, batch["gt"])))
             prevs.append(np.asarray(si_snr(batch["mixed"], batch["gt"])))
+            # val audio dumps (reference train_ContSep.py:681-710)
+            if (
+                args.generate_speech
+                and dumped < args.num_gen_speech
+                and jax.process_index() == 0
+            ):
+                from cse_tpu.data.audio_io import write_wav
+
+                lens = np.asarray(batch["sp_len"])
+                for k, name in enumerate(batch["names"]):
+                    if dumped >= args.num_gen_speech:
+                        break
+                    n = int(lens[k])
+                    for sub, arr in (
+                        ("gts", np.asarray(batch["gt"])),
+                        ("preds", np.asarray(enhanced)),
+                        ("mixed", np.asarray(batch["mixed"])),
+                    ):
+                        d = os.path.join(args.temp_dir or "./tmp_eval", "val",
+                                         args.train_data, sub)
+                        os.makedirs(d, exist_ok=True)
+                        x = arr[k, :n].astype(np.float32)
+                        x = x / max(np.abs(x).max(), 1e-9) * 0.9
+                        write_wav(os.path.join(d, name + ".wav"), x, args.sr)
+                    dumped += 1
         loader.close()
         val = float(np.mean(np.concatenate(sisnrs))) if sisnrs else 0.0
         prev = float(np.mean(np.concatenate(prevs))) if prevs else 0.0
