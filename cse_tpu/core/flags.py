@@ -93,7 +93,7 @@ def add_tpu_flags(p: argparse.ArgumentParser):
     p.add_argument("--mesh_data", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--remat", type=str, default="layer",
-                   choices=["none", "block", "layer"])
+                   choices=["none", "block", "layer", "nested"])
     p.add_argument("--flash_attention", default=False, action="store_true")
     p.add_argument("--max_ctx_tokens", type=int, default=512)
     p.add_argument("--platform", type=str, default=None,

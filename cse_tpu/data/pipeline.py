@@ -231,22 +231,14 @@ class TrainLoader:
         rng.shuffle(idx)
         return idx[self.pi :: self.pc]  # per-host shard (DistributedSampler)
 
-    def _sample(self, i: int, rng: random.Random, out: dict, row: int):
+    def _plan(self, i: int, rng: random.Random, out: dict, row: int) -> dict:
+        """Draw all per-sample randomness + paths (no audio IO except DEMAND)."""
         cfg = self.cfg
         T16 = cfg.t16
         f = self.files[i]
         # interferers: random other utterances (reference ``:172,194``)
         others = rng.sample(range(len(self.files) - 1), cfg.num_max_mix - 1)
         others = [o + 1 if o >= i else o for o in others]
-
-        out["source_len"][row] = _load_into(out["source"][row], f, T16)
-        out["noise1_len"][row] = _load_into(
-            out["noise1"][row], self.files[others[0]], T16
-        )
-        if cfg.num_max_mix == 3:
-            out["noise2_len"][row] = _load_into(
-                out["noise2"][row], self.files[others[1]], T16
-            )
 
         max_shift = int(cfg.max_shift_sec * 16000)
         for tag in ("src", "n1") + (("n2",) if cfg.num_max_mix == 3 else ()):
@@ -263,20 +255,80 @@ class TrainLoader:
             out["snr2"][row] = float(np.clip(rng.normalvariate(0, 4), -5, 5))
         out["flip"][row] = rng.random() >= 0.5  # half prob: noise takes full role
 
+        demand = None
         if cfg.noise_add and self.demand and rng.random() < 0.5:
             out["use_demand"][row] = True
             out["demand_snr"][row] = rng.random() * 10
-            nx, nsr = read_wav(rng.choice(self.demand))
-            assert nsr in (16000, 32000), "DEMAND contains 16k/32k files"
-            if nsr == 32000:
-                nx = nx[::2]  # cheap host decimation for the noise bed
-            nx = peak_normalize_np(nx)
-            start = rng.randint(0, max(len(nx) - T16, 0)) if len(nx) > T16 else 0
-            idx = (start + np.arange(T16)) % len(nx)
-            out["demand"][row] = nx[idx]
+            demand = (rng.choice(self.demand), rng.random())
 
-        return ds.assemble_context(
+        ctx = ds.assemble_context(
             f, self.corpus, "train", max_context_train=cfg.max_context_train, rng=rng
+        )
+        return {
+            "src": f,
+            "noises": [self.files[o] for o in others],
+            "demand": demand,
+            "ctx": ctx,
+        }
+
+    def _decode_demand(self, plan: dict, out: dict, row: int):
+        if plan["demand"] is None:
+            return
+        T16 = self.cfg.t16
+        path, start_frac = plan["demand"]
+        nx, nsr = read_wav(path)
+        assert nsr in (16000, 32000), "DEMAND contains 16k/32k files"
+        if nsr == 32000:
+            nx = nx[::2]  # cheap host decimation for the noise bed
+        nx = peak_normalize_np(nx)
+        start = int(start_frac * (max(len(nx) - T16, 0) + 1)) if len(nx) > T16 else 0
+        idx = (start + np.arange(T16)) % len(nx)
+        out["demand"][row] = nx[idx]
+
+    def _decode_audio(self, plans: list[dict], out: dict):
+        """Decode all sources/interferers — native C++ batch loader when built,
+        Python thread pool otherwise."""
+        cfg = self.cfg
+        T16 = cfg.t16
+        B = len(plans)
+        keys = ["source", "noise1"] + (["noise2"] if cfg.num_max_mix == 3 else [])
+        paths = []
+        for k, plan in enumerate(plans):
+            paths.append(plan["src"])
+            for noise in plan["noises"]:
+                paths.append(noise)
+        n_per = len(keys)
+
+        native = None
+        try:
+            from cse_tpu.native import audio_native
+
+            native = audio_native if audio_native.available() else None
+        except Exception:
+            native = None
+
+        if native is not None:
+            buf = np.zeros((B * n_per, T16), np.float32)
+            lens, srs = native.batch_load(paths, buf, peak_target=0.9)
+            assert (srs[lens > 0] == 16000).all(), "expected 16 kHz corpus"
+            for k in range(B):
+                for j, key in enumerate(keys):
+                    out[key][k] = buf[k * n_per + j]
+                    out[f"{key}_len"][k] = lens[k * n_per + j]
+        else:
+            def load_one(arg):
+                k, j, key = arg
+                out[f"{key}_len"][k] = _load_into(
+                    out[key][k], paths[k * n_per + j], T16
+                )
+
+            jobs = [(k, j, key) for k in range(B) for j, key in enumerate(keys)]
+            list(self.pool.map(load_one, jobs))
+        list(
+            self.pool.map(
+                lambda kp: self._decode_demand(kp[1], out, kp[0]),
+                list(enumerate(plans)),
+            )
         )
 
     def batches(self, epoch: int) -> Iterator[dict]:
@@ -312,13 +364,16 @@ class TrainLoader:
             rngs = [
                 random.Random(f"{self.seed}-{epoch}-{i}-{self.pi}") for i in rows
             ]
-            ctxs = list(
+            plans = list(
                 self.pool.map(
-                    lambda args: self._sample(args[0], args[1], out, args[2]),
+                    lambda args: self._plan(args[0], args[1], out, args[2]),
                     [(i, r, k) for k, (i, r) in enumerate(zip(rows, rngs))],
                 )
             )
-            ids, mask = encode_batch(self.tok, ctxs, cfg.max_ctx_tokens)
+            self._decode_audio(plans, out)
+            ids, mask = encode_batch(
+                self.tok, [p["ctx"] for p in plans], cfg.max_ctx_tokens
+            )
             out["context_ids"] = ids
             out["context_mask"] = mask
             yield out
@@ -414,6 +469,7 @@ class EvalLoader:
             batch["context_mask"] = jnp.asarray(mask)
             batch["names"] = names
             batch["contexts"] = ctxs
+            batch["paths"] = [self.mix_paths[i] for i in rows]
             yield batch
 
 

@@ -62,8 +62,10 @@ class SepformerConfig:
     pe_max_len: int = 2500
     compute_dtype: Any = jnp.float32
     use_flash_attention: bool = False
-    # rematerialization granularity: False/None, 'block' (dual block), or
-    # 'layer' (each transformer layer; smallest HBM peak for big batches)
+    # rematerialization granularity: False/None, 'block' (dual block),
+    # 'layer' (each transformer layer), or 'nested' (block AND layer —
+    # smallest HBM peak: only block inputs persist, layer inputs are
+    # transient during one block's backward)
     remat: Any = False
 
     @property
@@ -232,7 +234,7 @@ class DualComputationBlock(nn.Module):
             pe_max_len=cfg.pe_max_len,
             compute_dtype=cfg.compute_dtype,
             use_flash=cfg.use_flash_attention,
-            remat_layers=cfg.remat == "layer",
+            remat_layers=cfg.remat in ("layer", "nested"),
         )
         Tc = 0 if ctx is None else ctx.shape[1]
 
@@ -286,7 +288,7 @@ class DualPathModel(nn.Module):
         pred_head = None
         block_cls = (
             nn.remat(DualComputationBlock)
-            if cfg.remat in (True, "block")
+            if cfg.remat in (True, "block", "nested")
             else DualComputationBlock
         )
         for i in range(cfg.num_dp_layers):

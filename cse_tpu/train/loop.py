@@ -227,6 +227,10 @@ def train_net(args, variant: str):
             enhanced, aux = eval_step(params, _model_batch(batch))
             sisnrs.append(np.asarray(si_snr(enhanced, batch["gt"])))
             prevs.append(np.asarray(si_snr(batch["mixed"], batch["gt"])))
+            if "ctx_label" in aux:
+                accs.append(
+                    np.asarray(aux["ctx_pred"]) == np.asarray(aux["ctx_label"])
+                )
             # val audio dumps (reference train_ContSep.py:681-710)
             if (
                 args.generate_speech
@@ -257,6 +261,11 @@ def train_net(args, variant: str):
         prev = float(np.mean(np.concatenate(prevs))) if prevs else 0.0
         print(f"## VALIDATION SI-SNR ({args.train_data}): {val:.4f} "
               f"(SI-SNR-i {val - prev:+.4f})")
+        if accs:
+            acc = float(np.mean(np.concatenate(accs)))
+            print(f"## VALIDATION CTX ACC ({args.train_data}): {acc:.4f}")
+            if step:
+                writer.scalar(f"val_{args.train_data}/CTX_ACC", acc, step)
         if step:
             writer.scalar(f"val_{args.train_data}/SI-SNR", val, step)
             writer.scalar(f"val_{args.train_data}/SI-SNR-I", val - prev, step)
@@ -307,8 +316,12 @@ def train_net(args, variant: str):
             with trace_if(profile_dir, step_num):
                 params, opt_state, metrics = train_step(
                     params, opt_state, batch,
-                    jax.random.fold_in(jax.random.key(args.seed), step_num),
+                    jax.random.fold_in(jax.random.key(args.seed), step_num * 1000 + i),
                 )
+            # step = optimizer updates, not microbatches (reference
+            # train_ContSep.py:402-421 with --update_frequency)
+            if (i + 1) % args.update_frequency != 0:
+                continue
             step_num += 1
             if writer.tb is not None or writer.wandb is not None:
                 vals = {k: float(v) for k, v in metrics.items()}

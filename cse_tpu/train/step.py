@@ -173,7 +173,12 @@ def make_eval_step(model, cfg: TrainConfig, llm_apply: Callable | None = None, c
                 else (logits[:, 0] > 0).astype(jnp.int32)
             )
             enhanced = jnp.take_along_axis(est, pred[:, None, None], axis=-1)[:, :, 0]
-            return enhanced, {"ctx_pred": pred}
+            # oracle label: stream with highest SI-SNR vs gt (for ctx_acc logs)
+            aux = {"ctx_pred": pred}
+            if "gt" in batch:
+                stream_snr = si_snr(est.transpose(0, 2, 1), batch["gt"][:, None, :])
+                aux["ctx_label"] = jnp.argmax(stream_snr, axis=-1)
+            return enhanced, aux
         kwargs = {}
         if cfg.variant == "hcontext":
             kwargs = dict(se=batch["se"], cue_index=jnp.asarray(cue_idx))

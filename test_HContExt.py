@@ -83,7 +83,7 @@ def main():
             wav16 = None
             if not args.one_sec and args.test_dataset in ("tedlium", "dailytalk"):
                 p = ds.enrollment_path(
-                    loader.mix_paths[0], args.test_dataset, "test", paths,
+                    batch["paths"][k], args.test_dataset, "test", paths,
                     args.num_test_mix,
                 )
                 if p and os.path.exists(p):
