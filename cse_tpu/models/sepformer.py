@@ -62,6 +62,9 @@ class SepformerConfig:
     pe_max_len: int = 2500
     compute_dtype: Any = jnp.float32
     use_flash_attention: bool = False
+    # softmax accumulation dtype: fp32 (default, safest) or bf16 (faster,
+    # slightly lossy attention weights)
+    softmax_dtype: Any = jnp.float32
     # rematerialization granularity: False/None, 'block' (dual block),
     # 'layer' (each transformer layer), or 'nested' (block AND layer —
     # smallest HBM peak: only block inputs persist, layer inputs are
@@ -100,6 +103,7 @@ class MultiHeadSelfAttention(nn.Module):
     nhead: int
     compute_dtype: Any = jnp.float32
     use_flash: bool = False
+    softmax_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -128,7 +132,10 @@ class MultiHeadSelfAttention(nn.Module):
             out = flash_mhsa(q, k, v)
         else:
             scale = 1.0 / math.sqrt(hd)
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+            sd = self.softmax_dtype
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(sd) * jnp.asarray(
+                scale, sd
+            )
             probs = jax.nn.softmax(logits, axis=-1).astype(cd)
             out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
@@ -143,13 +150,15 @@ class TransformerEncoderLayer(nn.Module):
     d_ffn: int
     compute_dtype: Any = jnp.float32
     use_flash: bool = False
+    softmax_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cd = self.compute_dtype
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         x = x + MultiHeadSelfAttention(
-            self.d_model, self.nhead, cd, self.use_flash, name="self_att"
+            self.d_model, self.nhead, cd, self.use_flash, self.softmax_dtype,
+            name="self_att",
         )(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         h = nn.Dense(self.d_ffn, dtype=cd, name="ffn_1")(h)
@@ -170,6 +179,7 @@ class TransformerStack(nn.Module):
     compute_dtype: Any = jnp.float32
     use_flash: bool = False
     remat_layers: bool = False
+    softmax_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -188,6 +198,7 @@ class TransformerStack(nn.Module):
                 self.d_ffn,
                 self.compute_dtype,
                 self.use_flash,
+                self.softmax_dtype,
                 name=f"layer_{i}",
             )(x)
         return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)

@@ -123,7 +123,7 @@ def _pipeline_cfg(args, mode: str) -> PipelineConfig:
 
 
 def train_net(args, variant: str):
-    assert variant in ("contsep", "context", "hcontext")
+    assert variant in ("base", "contsep", "context", "hcontext")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.synthetic_smoke:
@@ -132,12 +132,14 @@ def train_net(args, variant: str):
     paths = _corpus_paths(args)
     tokenizer = load_tokenizer(args.llama_path, args.llama_auth_token)
     mesh = make_mesh(args.mesh_data) if args.mesh_data else None
-    llm = build_context_encoder(
-        args.llama_path,
-        ctx_length=args.ctx_length if variant != "contsep" else 1,
-        auth_token=args.llama_auth_token,
-        mesh=mesh,
-    )
+    llm = None
+    if variant != "base":
+        llm = build_context_encoder(
+            args.llama_path,
+            ctx_length=args.ctx_length if variant != "contsep" else 1,
+            auth_token=args.llama_auth_token,
+            mesh=mesh,
+        )
 
     model, tcfg = build_model(args, variant)
 
@@ -162,7 +164,10 @@ def train_net(args, variant: str):
     if variant == "hcontext":
         init_kw = dict(se=jnp.zeros((B, 1, 192)), cue_index=jnp.asarray(0))
         dummy_ctx = jnp.zeros((B, args.ctx_length, 4096), jnp.float32)
-    params = model.init(jax.random.key(0), dummy_mix, dummy_ctx, **init_kw)
+    if variant == "base":
+        params = model.init(jax.random.key(0), dummy_mix)
+    else:
+        params = model.init(jax.random.key(0), dummy_mix, dummy_ctx, **init_kw)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"[cse_tpu] Train # of params: {n_params:,}")
 

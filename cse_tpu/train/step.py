@@ -160,7 +160,17 @@ def make_eval_step(model, cfg: TrainConfig, llm_apply: Callable | None = None, c
     def step(params, batch):
         mixed = batch["mixed"]
         if cfg.variant == "base":
-            return model.apply(params, mixed), {}
+            est = model.apply(params, mixed)  # [B, T, spk]
+            aux = {}
+            if "gt" in batch:
+                # oracle-best stream (pretraining validation metric)
+                stream_snr = si_snr(est.transpose(0, 2, 1), batch["gt"][:, None, :])
+                best = jnp.argmax(stream_snr, axis=-1)
+                return (
+                    jnp.take_along_axis(est, best[:, None, None], axis=-1)[:, :, 0],
+                    aux,
+                )
+            return est[:, :, 0], aux
         if llm_apply is not None:
             ctx = llm_apply(batch["context_ids"], batch["context_mask"])
         else:
