@@ -15,7 +15,7 @@ import numpy as np
 
 from cse_tpu.data.pipeline import EvalLoader
 from cse_tpu.data.audio_io import write_wav
-from cse_tpu.eval.metrics import MeanMetric, SdrMetric, SiSnrMetric, si_snr_numpy
+from cse_tpu.eval.metrics import SdrMetric, SiSnrMetric, si_snr_numpy
 
 
 def evaluate(

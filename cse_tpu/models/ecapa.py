@@ -19,7 +19,7 @@ back to the spectral stub in cse_tpu.models.speaker_encoder.
 from __future__ import annotations
 
 import math
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ decode and tokenize.
 from __future__ import annotations
 
 import os
-import sys
 import time
 
 import jax
@@ -42,7 +41,7 @@ from cse_tpu.train.schedules import (
     linear_warmup_schedule,
 )
 from cse_tpu.train.step import TrainConfig, make_eval_step, make_train_step
-from cse_tpu.utils.logging import IterTimer, MetricLogger
+from cse_tpu.utils.logging import MetricLogger
 from cse_tpu.utils.profiling import profile_dir_from_env, trace_if
 
 

@@ -23,7 +23,7 @@ containing non-finite values, covering both.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Any, Callable
 
 import jax
