@@ -95,6 +95,9 @@ def add_tpu_flags(p: argparse.ArgumentParser):
     p.add_argument("--remat", type=str, default="layer",
                    choices=["none", "block", "layer", "nested"])
     p.add_argument("--flash_attention", default=False, action="store_true")
+    p.add_argument("--no_aligned_buckets", dest="aligned_buckets",
+                   default=True, action="store_false",
+                   help="disable lane-aligned train buckets (exact reference cap)")
     p.add_argument("--max_ctx_tokens", type=int, default=512)
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu for local smoke)")

@@ -58,9 +58,24 @@ class PipelineConfig:
     max_ctx_tokens: int = 512
     return_16k_gt: bool = False
     one_sec: bool = False
+    # shrink the train bucket (<=10%) so the dual-path inter sequence fits the
+    # 128-lane tile exactly — ~34% faster train steps on v5e (see ops/buckets)
+    aligned_buckets: bool = False
+
+    @property
+    def t_model(self) -> int:
+        """Bucket length in samples at the model rate (sr)."""
+        t = self.max_sp_len * self.sr
+        if self.aligned_buckets:
+            from cse_tpu.ops.buckets import aligned_bucket
+
+            t = aligned_bucket(t)
+        return t
 
     @property
     def t16(self) -> int:
+        if 16000 % self.sr == 0:
+            return self.t_model * (16000 // self.sr)
         return self.max_sp_len * 16000
 
 

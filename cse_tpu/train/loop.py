@@ -118,6 +118,8 @@ def _pipeline_cfg(args, mode: str) -> PipelineConfig:
         max_context_train=args.max_context_train,
         context_length=args.context_length,
         max_ctx_tokens=args.max_ctx_tokens,
+        # train-only; eval keeps the exact reference bucket (metric parity)
+        aligned_buckets=(mode == "train") and getattr(args, "aligned_buckets", True),
     )
 
 
