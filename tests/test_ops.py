@@ -251,3 +251,16 @@ class TestResample:
         ref = ref.transpose(1, 2).reshape(1, -1)[:, : int(np.ceil(10000 * new_r / orig_r))]
         ours, _ = resample(jnp.asarray(x)[None], 14400, 16000)
         np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+class TestBuckets:
+    def test_aligned_bucket(self):
+        from cse_tpu.ops.buckets import aligned_bucket, inter_len
+
+        a = aligned_bucket(128000)
+        assert a == 125000 and inter_len(a) == 127
+        # already aligned or nothing better within 10%: unchanged
+        assert aligned_bucket(125000) == 125000
+        assert aligned_bucket(64000) == 64000
+        # hcontext (2 ctx tokens) at the same bucket hits 128 exactly
+        assert inter_len(125000, ctx=2) == 128
