@@ -34,6 +34,8 @@ def add_data_flags(p: argparse.ArgumentParser):
     p.add_argument("--noise_add", default=False, action="store_true")
     p.add_argument("--train_data", type=str, default="spokenwoz",
                    help="dailytalk or spokenwoz or tedlium")
+    p.add_argument("--lists_root", type=str, default="./data",
+                   help="root of the static split/mixture list files")
 
 
 def add_train_flags(p: argparse.ArgumentParser):

@@ -340,6 +340,28 @@ def train_net(args, variant: str):
                     f"######## Step(Epoch): {step_num}({epoch}), "
                     f"Loss: {float(metrics['loss']):.4f} #########"
                 )
+            if (
+                args.generate_speech
+                and step_num % args.generate_step == 0
+                and jax.process_index() == 0
+            ):
+                # train-batch audio dumps (reference train_ContSep.py:515-555)
+                from cse_tpu.data.audio_io import write_wav
+
+                ev = make_eval_step(model, tcfg, llm_apply=llm)
+                enhanced, _ = ev(params, batch)
+                for kk in range(min(args.num_gen_speech, enhanced.shape[0])):
+                    for sub, arr in (
+                        ("gts", np.asarray(batch["gt"])),
+                        ("preds", np.asarray(enhanced)),
+                        ("mixed", np.asarray(batch["mixed"])),
+                    ):
+                        d = os.path.join(args.temp_dir or "./tmp_eval", "train", sub)
+                        os.makedirs(d, exist_ok=True)
+                        x = arr[kk].astype(np.float32)
+                        x = x / max(np.abs(x).max(), 1e-9) * 0.9
+                        write_wav(os.path.join(d, f"{kk}.wav"), x, args.sr)
+
             if step_num % args.eval_step == 0:
                 val = validate(params, fast_validate=True, epoch=epoch, step=step_num)
                 if plateau is not None and step_num >= args.no_reduce:
