@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--smoke", action="store_true", help="tiny config on CPU (plumbing only)")
+    ap.add_argument("--infer", action="store_true",
+                    help="measure inference RTF with the fused serving engine instead")
     args = ap.parse_args()
 
     if args.smoke:
@@ -62,6 +64,8 @@ def main():
 
     model = Sepformer(cfg)
     rng = np.random.default_rng(0)
+    if args.infer:
+        return _bench_infer(args, cfg, model, B, T)
     gt = rng.standard_normal((B, T)).astype(np.float32)
     batch = {
         "mixed": jnp.asarray(0.7 * gt + 0.3 * rng.standard_normal((B, T)).astype(np.float32)),
@@ -100,6 +104,31 @@ def main():
             }
         )
     )
+
+
+def _bench_infer(args, cfg, model, B, T):
+    """Secondary mode: extraction RTF through the fused serving engine."""
+    from cse_tpu.serving import ServingEngine
+
+    rng = np.random.default_rng(0)
+    mix = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((B, 1, cfg.llm_dim)).astype(np.float32))
+    params = model.init(jax.random.key(0), mix[:2, :2000], ctx[:2])
+    engine = ServingEngine(cfg, params)
+    out = engine(mix, ctx)
+    float(jnp.asarray(out).astype(jnp.float32).sum())
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        out = engine(mix, ctx)
+    float(jnp.asarray(out).astype(jnp.float32).sum())
+    dt = (time.perf_counter() - t0) / args.steps
+    rtf = (B * T / args.sr) / dt
+    print(json.dumps({
+        "metric": "inference_rtf_contextual_extraction",
+        "value": round(rtf, 1),
+        "unit": "x realtime (fused serving, batch %d, %.3fs@8kHz)" % (B, T / args.sr),
+        "vs_baseline": None,
+    }))
 
 
 if __name__ == "__main__":

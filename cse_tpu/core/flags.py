@@ -104,6 +104,8 @@ def add_tpu_flags(p: argparse.ArgumentParser):
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu for local smoke)")
     p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--debug_tiny_model", default=False, action="store_true",
+                   help="scaled-down model (fast CI/smoke; NOT ckpt-compatible)")
 
 
 def parse_train_args(argv=None) -> argparse.Namespace:

@@ -76,6 +76,13 @@ def build_model(args, variant: str) -> tuple[Sepformer, TrainConfig]:
     if variant == "contsep" and args.train_data == "dailytalk":
         args.ce = False  # forced, reference train_ContSep.py:167-168
     use_ce = bool(args.ce) if variant == "contsep" else True
+    tiny = {}
+    if getattr(args, "debug_tiny_model", False):
+        tiny = dict(
+            enc_channels=32, enc_kernel=8, enc_stride=4, d_model=32, nhead=4,
+            d_ffn=64, num_tf_layers=2, num_dp_layers=1, chunk_size=50,
+            pe_max_len=512,
+        )
     cfg = SepformerConfig(
         num_spks=args.num_max_mix,
         variant="context" if variant == "hcontext" else variant,
@@ -84,6 +91,7 @@ def build_model(args, variant: str) -> tuple[Sepformer, TrainConfig]:
         compute_dtype=jnp.bfloat16 if (args.bf16 or args.fp16) else jnp.float32,
         remat=None if args.remat == "none" else args.remat,
         use_flash_attention=args.flash_attention,
+        **tiny,
     )
     tcfg = TrainConfig(
         variant=variant,

@@ -1,0 +1,48 @@
+"""End-to-end integration: real train_net over the synthetic corpus (tiny
+model, CPU), including the 8-way data-parallel mesh path through the CLI
+layer — the fast_validate smoke of SURVEY.md §4 turned into CI."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cse_tpu.core.flags import parse_train_args
+from cse_tpu.train.loop import train_net
+
+# ~2 min per variant on a 1-core host; the CLI --synthetic_smoke runs cover
+# the same path, so these run only when explicitly requested.
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("CSE_RUN_SLOW"),
+    reason="slow integration tests; set CSE_RUN_SLOW=1",
+)
+
+
+def _args(extra):
+    base = [
+        "--synthetic_smoke", "--platform", "cpu", "--debug_tiny_model",
+        "--tot_iters", "3", "--batch_size", "2", "--eval_step", "2",
+        "--max_sp_len", "2", "--max_ctx_tokens", "16", "--workers", "2",
+        "--log_every", "10",
+    ]
+    return parse_train_args(base + extra)
+
+
+@pytest.mark.parametrize("variant", ["context", "contsep", "hcontext", "base"])
+def test_train_net_variants(tmp_path, variant):
+    args = _args(["--checkpoint_dir", str(tmp_path / variant)])
+    params = train_net(args, variant=variant)
+    assert all(np.isfinite(np.asarray(x)).all() for x in
+               __import__("jax").tree.leaves(params))
+    ckpts = list((tmp_path / variant).glob("*.ckpt"))
+    assert ckpts, "eval_step checkpoint missing"
+
+
+def test_train_net_mesh_dp(tmp_path):
+    """CLI-level data parallelism over the virtual 8-device mesh."""
+    args = _args([
+        "--checkpoint_dir", str(tmp_path / "dp"), "--mesh_data", "8",
+        "--batch_size", "8",
+    ])
+    params = train_net(args, variant="context")
+    assert params is not None
