@@ -76,42 +76,61 @@ def make_synthetic_corpus(
     with open(os.path.join(lists_root, "DailyTalk", "train_dialog.txt"), "w") as f:
         f.write("\n".join(dialog_names) + "\n")
 
-    # premixed eval dirs (val + test), built with the reference mixing math
+    # premixed eval dirs (val + test), built with the reference mixing math;
+    # noise dirs follow the reference's gt-path .replace('gt', 'noise_i')
+    # convention, i.e. 'noise' (2-spk) / 'noise_{1,2}_3speaker' (3-spk)
     mix_name = "mixed" if num_test_mix == 2 else "mixed_3speaker"
     gt_name = "gt" if num_test_mix == 2 else "gt_3speaker"
+    noise_dirs = (
+        ["noise"]
+        if num_test_mix == 2
+        else [gt_name.replace("gt", "noise_1"), gt_name.replace("gt", "noise_2")]
+    )
     for mode in ("val", "test"):
-        for sub in (
-            [mix_name, gt_name, "noise"]
-            if num_test_mix == 2
-            else [mix_name, gt_name, "noise_1", "noise_2"]
-        ):
+        for sub in [mix_name, gt_name] + noise_dirs:
             os.makedirs(os.path.join(data_root, mode, sub), exist_ok=True)
         for i in range(n_eval):
             sig = _utterance(rng, prng.uniform(*seconds))
-            noi = _utterance(rng, prng.uniform(*seconds))
             n = len(sig)
-            noi = np.pad(noi, (0, max(0, n - len(noi))))[:n]
-            snr = prng.uniform(-5, 5)
-            g = np.sqrt(
-                10 ** (-snr / 10) * np.mean(sig**2) / max(np.mean(noi**2), 1e-12)
-            )
-            a, b = np.sqrt(1 / (1 + g * g)), np.sqrt(g * g / (1 + g * g))
-            mixed = a * sig + b * noi
-            scale = 0.9 / max(np.abs(mixed).max(), 1e-12)
+            noises = []
+            for _ in range(num_test_mix - 1):
+                noi = _utterance(rng, prng.uniform(*seconds))
+                noises.append(np.pad(noi, (0, max(0, n - len(noi))))[:n])
             name = f"{i}_0_0_d{i}-mix"
+            if num_test_mix == 2:
+                snr = prng.uniform(-5, 5)
+                g = np.sqrt(
+                    10 ** (-snr / 10) * np.mean(sig**2)
+                    / max(np.mean(noises[0] ** 2), 1e-12)
+                )
+                a, b = np.sqrt(1 / (1 + g * g)), np.sqrt(g * g / (1 + g * g))
+                mixed = a * sig + b * noises[0]
+                stems = [sig * a, noises[0] * b]
+            else:
+                gains = [
+                    np.sqrt(
+                        10 ** (-prng.uniform(-5, 5) / 10) * np.mean(sig**2)
+                        / max(np.mean(nz**2), 1e-12)
+                    )
+                    for nz in noises
+                ]
+                scaled = [g * nz for g, nz in zip(gains, noises)]
+                mixed = sig + sum(scaled)
+                stems = [sig] + scaled
+            scale = 0.9 / max(np.abs(mixed).max(), 1e-12)
             write_wav(
                 os.path.join(data_root, mode, mix_name, name + ".wav"),
                 mixed * scale, 16000,
             )
             write_wav(
                 os.path.join(data_root, mode, gt_name, name + ".wav"),
-                sig * a * scale, 16000,
+                stems[0] * scale, 16000,
             )
-            noise_dirs = ["noise"] if num_test_mix == 2 else ["noise_1", "noise_2"]
-            write_wav(
-                os.path.join(data_root, mode, noise_dirs[0], name + ".wav"),
-                noi * b * scale, 16000,
-            )
+            for nd, stem in zip(noise_dirs, stems[1:]):
+                write_wav(
+                    os.path.join(data_root, mode, nd, name + ".wav"),
+                    stem * scale, 16000,
+                )
             # context txt next to the mixed wav (>= test_limit lines)
             with open(
                 os.path.join(data_root, mode, mix_name, name + ".txt"), "w"
