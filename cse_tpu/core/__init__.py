@@ -1,0 +1,3 @@
+from cse_tpu.core import flags, mesh
+
+__all__ = ["flags", "mesh"]
