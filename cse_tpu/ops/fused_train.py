@@ -1,0 +1,279 @@
+"""Fused transformer layers with a hand-written Pallas backward (training).
+
+Extends the inference-only fused stack (ops/fused_stack.py) to training: a
+chunk of pre-LN layers runs as ONE kernel in both directions. Forward saves
+only the chunk input; backward replays the chunk in VMEM and produces dx plus
+weight gradients, accumulated across the (sequential) TPU grid into
+constant-index output blocks. HBM traffic per chunk is O(L*D) activations
+instead of per-layer round-trips of activations and [L, L] attention probs —
+the dominant cost of the XLA+remat path (PERF.md).
+
+Layer math matches cse_tpu.models.sepformer.TransformerEncoderLayer exactly:
+  x += Wo @ MHSA(LN1(x));  x += W2 @ relu(W1 @ LN2(x))
+with fp32 residual stream/LN/softmax and bf16 matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN_EPS = 1e-6
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _ln_fwd(x, scale, bias):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (x - mu) * inv
+    return xhat * scale + bias, xhat, inv
+
+
+def _ln_bwd(dy, xhat, inv, scale):
+    """Returns (dx, dscale, dbias) for y = xhat*scale + bias."""
+    dscale = jnp.sum(dy * xhat, axis=0)
+    dbias = jnp.sum(dy, axis=0)
+    dxhat = dy * scale
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = inv * (dxhat - m1 - xhat * m2)
+    return dx, dscale, dbias
+
+
+def _attn_heads_fwd(qkv, nhead, D, kmask, cd):
+    """qkv [Lp, 3D] fp32 -> (attn [Lp, D] fp32, per-head probs list)."""
+    hd = D // nhead
+    scale = 1.0 / math.sqrt(hd)
+    cols, probs = [], []
+    for h in range(nhead):
+        q = qkv[:, h * hd : (h + 1) * hd]
+        k = qkv[:, D + h * hd : D + (h + 1) * hd]
+        v = qkv[:, 2 * D + h * hd : 2 * D + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(kmask, s, -1e30)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        probs.append(p)
+        cols.append(
+            jnp.dot(p.astype(cd), v.astype(cd), preferred_element_type=jnp.float32)
+        )
+    return jnp.concatenate(cols, axis=-1), probs
+
+
+def _layer_fwd(x, w, li, nhead, D, kmask, cd):
+    """One pre-LN layer forward. Returns (x_out, saved internals)."""
+    h1, xhat1, inv1 = _ln_fwd(x, w["ln1_s"][li].astype(jnp.float32),
+                              w["ln1_b"][li].astype(jnp.float32))
+    qkv = jnp.dot(h1.astype(cd), w["qkv_w"][li], preferred_element_type=jnp.float32)
+    qkv = qkv + w["qkv_b"][li].astype(jnp.float32)
+    attn, probs = _attn_heads_fwd(qkv, nhead, D, kmask, cd)
+    ao = jnp.dot(attn.astype(cd), w["out_w"][li], preferred_element_type=jnp.float32)
+    x1 = x + ao + w["out_b"][li].astype(jnp.float32)
+    h2, xhat2, inv2 = _ln_fwd(x1, w["ln2_s"][li].astype(jnp.float32),
+                              w["ln2_b"][li].astype(jnp.float32))
+    pre = jnp.dot(h2.astype(cd), w["f1_w"][li], preferred_element_type=jnp.float32)
+    pre = pre + w["f1_b"][li].astype(jnp.float32)
+    hrelu = jnp.maximum(pre, 0.0)
+    fo = jnp.dot(hrelu.astype(cd), w["f2_w"][li], preferred_element_type=jnp.float32)
+    x2 = x1 + fo + w["f2_b"][li].astype(jnp.float32)
+    saved = dict(h1=h1, xhat1=xhat1, inv1=inv1, qkv=qkv, probs=probs, attn=attn,
+                 x1=x1, h2=h2, xhat2=xhat2, inv2=inv2, hrelu=hrelu)
+    return x2, saved
+
+
+W_NAMES = ("qkv_w", "qkv_b", "out_w", "out_b", "ln1_s", "ln1_b",
+           "ln2_s", "ln2_b", "f1_w", "f1_b", "f2_w", "f2_b")
+
+
+def _fwd_kernel(x_ref, *refs, n_layers, nhead, L, cd):
+    w = dict(zip(W_NAMES, refs[:-1]))
+    o_ref = refs[-1]
+    Lp, D = x_ref.shape[1], x_ref.shape[2]
+    kmask = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1) < L
+    x = x_ref[0].astype(jnp.float32)
+    for li in range(n_layers):
+        x, _ = _layer_fwd(x, w, li, nhead, D, kmask, cd)
+    o_ref[0] = x.astype(o_ref.dtype)
+
+
+def _bwd_kernel(x_ref, g_ref, *refs, n_layers, nhead, L, cd):
+    w = dict(zip(W_NAMES, refs[: len(W_NAMES)]))
+    dx_ref = refs[len(W_NAMES)]
+    dw_refs = dict(zip(W_NAMES, refs[len(W_NAMES) + 1 :]))
+    Lp, D = x_ref.shape[1], x_ref.shape[2]
+    hd = D // nhead
+    scale = 1.0 / math.sqrt(hd)
+    kmask = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1) < L
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in dw_refs.values():
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    # replay forward, keeping each layer's internals in VMEM (n_layers small)
+    x = x_ref[0].astype(jnp.float32)
+    saves = []
+    for li in range(n_layers):
+        x, saved = _layer_fwd(x, w, li, nhead, D, kmask, cd)
+        saves.append(saved)
+
+    g = g_ref[0].astype(jnp.float32)
+    for li in reversed(range(n_layers)):
+        s = saves[li]
+        # ---- FFN bwd: x2 = x1 + f2(relu(f1(h2))) + b2
+        dfo = g
+        dw_refs["f2_b"][li] += jnp.sum(dfo, axis=0)
+        dw_refs["f2_w"][li] += jax.lax.dot_general(
+            s["hrelu"].astype(cd), dfo.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dw_refs["f2_w"].dtype)
+        dhrelu = jnp.dot(
+            dfo.astype(cd), w["f2_w"][li].T, preferred_element_type=jnp.float32
+        )
+        dpre = jnp.where(s["hrelu"] > 0, dhrelu, 0.0)
+        dw_refs["f1_b"][li] += jnp.sum(dpre, axis=0)
+        dw_refs["f1_w"][li] += jax.lax.dot_general(
+            s["h2"].astype(cd), dpre.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dw_refs["f1_w"].dtype)
+        dh2 = jnp.dot(
+            dpre.astype(cd), w["f1_w"][li].T, preferred_element_type=jnp.float32
+        )
+        dx1_ln, dls2, dlb2 = _ln_bwd(
+            dh2, s["xhat2"], s["inv2"], w["ln2_s"][li].astype(jnp.float32)
+        )
+        dw_refs["ln2_s"][li] += dls2
+        dw_refs["ln2_b"][li] += dlb2
+        g1 = g + dx1_ln  # d x1
+
+        # ---- attention bwd: x1 = x0 + attn@Wo + bo
+        dw_refs["out_b"][li] += jnp.sum(g1, axis=0)
+        dw_refs["out_w"][li] += jax.lax.dot_general(
+            s["attn"].astype(cd), g1.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dw_refs["out_w"].dtype)
+        dattn = jnp.dot(
+            g1.astype(cd), w["out_w"][li].T, preferred_element_type=jnp.float32
+        )
+        dqs, dks, dvs = [], [], []
+        for h in range(nhead):
+            q = s["qkv"][:, h * hd : (h + 1) * hd]
+            k = s["qkv"][:, D + h * hd : D + (h + 1) * hd]
+            v = s["qkv"][:, 2 * D + h * hd : 2 * D + (h + 1) * hd]
+            p = s["probs"][h]
+            do = dattn[:, h * hd : (h + 1) * hd]
+            dvs.append(jax.lax.dot_general(
+                p.astype(cd), do.astype(cd), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            dp = jax.lax.dot_general(
+                do.astype(cd), v.astype(cd), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(dp * p, axis=1, keepdims=True)
+            ds = p * (dp - delta) * scale
+            dqs.append(
+                jnp.dot(ds.astype(cd), k.astype(cd), preferred_element_type=jnp.float32)
+            )
+            dks.append(jax.lax.dot_general(
+                ds.astype(cd), q.astype(cd), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)
+        dw_refs["qkv_b"][li] += jnp.sum(dqkv, axis=0)
+        dw_refs["qkv_w"][li] += jax.lax.dot_general(
+            s["h1"].astype(cd), dqkv.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dw_refs["qkv_w"].dtype)
+        dh1 = jnp.dot(
+            dqkv.astype(cd), w["qkv_w"][li].T, preferred_element_type=jnp.float32
+        )
+        dx0_ln, dls1, dlb1 = _ln_bwd(
+            dh1, s["xhat1"], s["inv1"], w["ln1_s"][li].astype(jnp.float32)
+        )
+        dw_refs["ln1_s"][li] += dls1
+        dw_refs["ln1_b"][li] += dlb1
+        g = g1 + dx0_ln  # d x0 -> grad into previous layer
+
+    dx_ref[0] = g.astype(dx_ref.dtype)
+
+
+def _weight_specs(weights):
+    specs = []
+    for wname in W_NAMES:
+        arr = weights[wname]
+        nd = arr.ndim
+        specs.append(
+            pl.BlockSpec(arr.shape, lambda i, _nd=nd: (0,) * _nd, memory_space=pltpu.VMEM)
+        )
+    return specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_layers(x, weights, n_layers, nhead, L):
+    return _fused_fwd_impl(x, weights, n_layers, nhead, L)
+
+
+def _fused_fwd_impl(x, weights, n_layers, nhead, L):
+    G, Lp, D = x.shape
+    cd = weights["qkv_w"].dtype
+    xspec = pl.BlockSpec((1, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, n_layers=n_layers, nhead=nhead, L=L, cd=cd),
+        grid=(G,),
+        in_specs=[xspec] + _weight_specs(weights),
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((G, Lp, D), x.dtype),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+    )(x, *[weights[k] for k in W_NAMES])
+
+
+def _fused_fwd(x, weights, n_layers, nhead, L):
+    y = _fused_fwd_impl(x, weights, n_layers, nhead, L)
+    return y, (x, weights)
+
+
+def _fused_bwd(n_layers, nhead, L, res, gy):
+    x, weights = res
+    G, Lp, D = x.shape
+    cd = weights["qkv_w"].dtype
+    xspec = pl.BlockSpec((1, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    dw_shapes = tuple(
+        jax.ShapeDtypeStruct(weights[k].shape, jnp.float32) for k in W_NAMES
+    )
+    dw_specs = []
+    for k in W_NAMES:
+        nd = weights[k].ndim
+        dw_specs.append(
+            pl.BlockSpec(weights[k].shape, lambda i, _nd=nd: (0,) * _nd,
+                         memory_space=pltpu.VMEM)
+        )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_layers=n_layers, nhead=nhead, L=L, cd=cd),
+        grid=(G,),
+        in_specs=[xspec, xspec] + _weight_specs(weights),
+        out_specs=tuple([xspec] + dw_specs),
+        out_shape=tuple([jax.ShapeDtypeStruct((G, Lp, D), x.dtype)] + list(dw_shapes)),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+    )(x, gy, *[weights[k] for k in W_NAMES])
+    dx = outs[0]
+    dw = {k: outs[1 + i].astype(weights[k].dtype) for i, k in enumerate(W_NAMES)}
+    return dx, dw
+
+
+fused_layers.defvjp(_fused_fwd, _fused_bwd)

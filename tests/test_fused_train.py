@@ -1,0 +1,96 @@
+"""Fused training kernel: forward + hand-written backward vs jax autodiff."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cse_tpu.ops.fused_train import W_NAMES, fused_layers
+
+D, H, FFN, NL, L, G = 32, 4, 64, 2, 24, 3
+Lp = 128  # padded
+
+
+def _ref_layers(x, w, n_layers, nhead, L):
+    """Pure-jnp replica of the fused kernel math (fp32)."""
+    hd = D // nhead
+    kmask = (jnp.arange(x.shape[1]) < L)[None, None, :]
+
+    def ln(x, s, b):
+        m = x.mean(-1, keepdims=True)
+        v = ((x - m) ** 2).mean(-1, keepdims=True)
+        return (x - m) * jax.lax.rsqrt(v + 1e-6) * s + b
+
+    for li in range(n_layers):
+        h = ln(x, w["ln1_s"][li], w["ln1_b"][li])
+        qkv = h @ w["qkv_w"][li] + w["qkv_b"][li]
+        cols = []
+        for hh in range(nhead):
+            q = qkv[:, :, hh * hd : (hh + 1) * hd]
+            k = qkv[:, :, D + hh * hd : D + (hh + 1) * hd]
+            v = qkv[:, :, 2 * D + hh * hd : 2 * D + (hh + 1) * hd]
+            s = jnp.einsum("gqd,gkd->gqk", q, k) / np.sqrt(hd)
+            s = jnp.where(kmask, s, -1e30)
+            p = jax.nn.softmax(s, axis=-1)
+            cols.append(jnp.einsum("gqk,gkd->gqd", p, v))
+        attn = jnp.concatenate(cols, -1)
+        x = x + attn @ w["out_w"][li] + w["out_b"][li]
+        h = ln(x, w["ln2_s"][li], w["ln2_b"][li])
+        x = x + jnp.maximum(h @ w["f1_w"][li] + w["f1_b"][li], 0) @ w["f2_w"][li] + w["f2_b"][li]
+    return x
+
+
+@pytest.fixture
+def setup(rng):
+    w = {
+        "qkv_w": rng.standard_normal((NL, D, 3 * D)) * 0.1,
+        "qkv_b": rng.standard_normal((NL, 3 * D)) * 0.01,
+        "out_w": rng.standard_normal((NL, D, D)) * 0.1,
+        "out_b": rng.standard_normal((NL, D)) * 0.01,
+        "ln1_s": np.ones((NL, D)) + 0.1 * rng.standard_normal((NL, D)),
+        "ln1_b": 0.01 * rng.standard_normal((NL, D)),
+        "ln2_s": np.ones((NL, D)) + 0.1 * rng.standard_normal((NL, D)),
+        "ln2_b": 0.01 * rng.standard_normal((NL, D)),
+        "f1_w": rng.standard_normal((NL, D, FFN)) * 0.1,
+        "f1_b": 0.01 * rng.standard_normal((NL, FFN)),
+        "f2_w": rng.standard_normal((NL, FFN, D)) * 0.1,
+        "f2_b": 0.01 * rng.standard_normal((NL, D)),
+    }
+    w = {k: jnp.asarray(v, jnp.float32) for k, v in w.items()}
+    x = jnp.asarray(
+        np.pad(rng.standard_normal((G, L, D)), ((0, 0), (0, Lp - L), (0, 0))),
+        jnp.float32,
+    )
+    return x, w
+
+
+def test_forward_matches(setup):
+    x, w = setup
+    got = fused_layers(x, w, NL, H, L)
+    ref = _ref_layers(x, w, NL, H, L)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :L], np.asarray(ref)[:, :L], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_gradients_match(setup):
+    x, w = setup
+    mask = (jnp.arange(Lp) < L)[None, :, None]
+
+    def loss_fused(x, w):
+        y = fused_layers(x, w, NL, H, L) * mask
+        return jnp.sum(y * jnp.sin(y))
+
+    def loss_ref(x, w):
+        y = _ref_layers(x, w, NL, H, L) * mask
+        return jnp.sum(y * jnp.sin(y))
+
+    (gx, gw) = jax.grad(loss_fused, argnums=(0, 1))(x, w)
+    (rx, rw) = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(
+        np.asarray(gx)[:, :L], np.asarray(rx)[:, :L], rtol=2e-3, atol=2e-3
+    )
+    for k in W_NAMES:
+        np.testing.assert_allclose(
+            np.asarray(gw[k]), np.asarray(rw[k]), rtol=2e-3, atol=2e-3, err_msg=k
+        )
