@@ -277,3 +277,58 @@ def _fused_bwd(n_layers, nhead, L, res, gy):
 
 
 fused_layers.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_stack_train(
+    x: jnp.ndarray,
+    stack_params: dict,
+    nhead: int = 8,
+    chunk: int = 2,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Differentiable TransformerStack forward using fused fwd+bwd kernels.
+
+    x: [G, L, D] with positional encoding already added; ``stack_params`` is
+    the flax TransformerStack subtree (layer_{i}/..., norm). Per-layer params
+    are stacked with jnp.stack (differentiable, so flax gradients flow back
+    to the original tree), run through ``fused_layers`` in chunks, and the
+    stack's final LayerNorm runs in plain jnp.
+    """
+    G, L, D = x.shape
+    Lp = ((L + 127) // 128) * 128
+    layers = sorted(
+        (k for k in stack_params if k.startswith("layer_")),
+        key=lambda s: int(s.split("_")[1]),
+    )
+    n_layers = len(layers)
+    cd = compute_dtype
+
+    def stk(get):
+        return jnp.stack([get(stack_params[k]).astype(cd) for k in layers])
+
+    w = {
+        "qkv_w": stk(lambda p: p["self_att"]["in_proj_kernel"]),
+        "qkv_b": stk(lambda p: p["self_att"]["in_proj_bias"]),
+        "out_w": stk(lambda p: p["self_att"]["out_proj_kernel"]),
+        "out_b": stk(lambda p: p["self_att"]["out_proj_bias"]),
+        "ln1_s": stk(lambda p: p["norm1"]["scale"]),
+        "ln1_b": stk(lambda p: p["norm1"]["bias"]),
+        "ln2_s": stk(lambda p: p["norm2"]["scale"]),
+        "ln2_b": stk(lambda p: p["norm2"]["bias"]),
+        "f1_w": stk(lambda p: p["ffn_1"]["kernel"]),
+        "f1_b": stk(lambda p: p["ffn_1"]["bias"]),
+        "f2_w": stk(lambda p: p["ffn_2"]["kernel"]),
+        "f2_b": stk(lambda p: p["ffn_2"]["bias"]),
+    }
+    y = jnp.pad(x.astype(cd), ((0, 0), (0, Lp - L), (0, 0)))
+    for c0 in range(0, n_layers, chunk):
+        n = min(chunk, n_layers - c0)
+        wc = {k: jax.lax.dynamic_slice_in_dim(w[k], c0, n, 0) for k in W_NAMES}
+        y = fused_layers(y, wc, n, nhead, L)
+    y = y[:, :L].astype(jnp.float32)
+    # final stack LayerNorm (fp32, eps 1e-6)
+    mu = y.mean(-1, keepdims=True)
+    var = ((y - mu) ** 2).mean(-1, keepdims=True)
+    return (y - mu) * jax.lax.rsqrt(var + LN_EPS) * stack_params["norm"][
+        "scale"
+    ] + stack_params["norm"]["bias"]

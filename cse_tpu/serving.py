@@ -36,10 +36,16 @@ def _dense(x, p, cd):
     return y + p["bias"].astype(cd) if "bias" in p else y
 
 
-def _stack(x, params, cfg, L_real):
+def _stack(x, params, cfg, L_real, train=False):
     """PE + fused transformer stack. x: [G, L, D]."""
     pe = sinusoidal_pe(cfg.pe_max_len, cfg.d_model)[: x.shape[1]]
     x = x + pe[None].astype(x.dtype)
+    if train:
+        from cse_tpu.ops.fused_train import fused_stack_train
+
+        return fused_stack_train(
+            x, params, nhead=cfg.nhead, compute_dtype=cfg.compute_dtype
+        ).astype(cfg.compute_dtype)
     return fused_stack_apply(
         x, params, nhead=cfg.nhead, compute_dtype=cfg.compute_dtype
     )
@@ -52,6 +58,7 @@ def sepformer_fused_forward(
     ctx: jnp.ndarray | None = None,
     se: jnp.ndarray | None = None,
     cue_index: jnp.ndarray | None = None,
+    train: bool = False,
 ):
     """Mirror of Sepformer.__call__ with fused stacks. Same returns."""
     p = params["params"] if "params" in params else params
@@ -89,7 +96,7 @@ def sepformer_fused_forward(
             c = _dense(ctx, blk["intra_context_mapper"], cd)
             c = jnp.broadcast_to(c[:, None], (B, S, Tc, N)).reshape(B * S, Tc, N)
             intra = jnp.concatenate([c, intra.astype(c.dtype)], axis=1)
-        intra = _stack(intra, blk["intra_mdl"], cfg, K + Tc)
+        intra = _stack(intra, blk["intra_mdl"], cfg, K + Tc, train=train)
         intra = intra[:, Tc:].reshape(B, S, K, N)
         intra = _group_norm(intra, blk["intra_norm"]) + x
 
@@ -98,7 +105,7 @@ def sepformer_fused_forward(
             c = _dense(ctx, blk["inter_context_mapper"], cd)
             c = jnp.broadcast_to(c[:, None], (B, K, Tc, N)).reshape(B * K, Tc, N)
             inter = jnp.concatenate([c, inter.astype(c.dtype)], axis=1)
-        inter = _stack(inter, blk["inter_mdl"], cfg, S + Tc)
+        inter = _stack(inter, blk["inter_mdl"], cfg, S + Tc, train=train)
         pred_head = inter[:, 0].reshape(B, K, N).mean(axis=1)
         inter = inter[:, Tc:].reshape(B, K, S, N).transpose(0, 2, 1, 3)
         x = _group_norm(inter, blk["inter_norm"]) + intra

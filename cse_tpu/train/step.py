@@ -49,13 +49,29 @@ def _sample_cue(rng: jax.Array) -> jax.Array:
     return jnp.where(r[0] < 0.3, 0, jnp.where((r[1] >= 0.3) & (r[1] < 0.8), 1, 2))
 
 
-def make_loss_fn(model, cfg: TrainConfig, llm_apply: Callable | None = None):
+def make_loss_fn(
+    model, cfg: TrainConfig, llm_apply: Callable | None = None, fused: bool = False
+):
     """Build loss(params, batch, rng) -> (loss, metrics).
 
     ``batch`` keys: mixed [B,T], gt [B,T], noises [B,T,spk-1] (contsep/base),
     ctx_feat [B,Tc,llm_dim] (or context_ids/context_mask when llm_apply is
-    given), se [B,1,192] (hcontext).
+    given), se [B,1,192] (hcontext). With ``fused=True`` the separator runs
+    through the fused-kernel forward (Pallas fwd+bwd stacks, ~2x faster on
+    v5e) instead of model.apply — identical parameters and math.
     """
+    if fused:
+        from cse_tpu.serving import sepformer_fused_forward
+
+        def apply_fn(params, mix, ctx=None, **kw):
+            return sepformer_fused_forward(
+                params, model.cfg, mix, ctx=ctx, train=True, **kw
+            )
+    else:
+        def apply_fn(params, mix, ctx=None, **kw):
+            if ctx is None:
+                return model.apply(params, mix, **kw)
+            return model.apply(params, mix, ctx, **kw)
 
     def get_ctx(batch):
         if llm_apply is not None:
@@ -68,7 +84,7 @@ def make_loss_fn(model, cfg: TrainConfig, llm_apply: Callable | None = None):
         metrics: dict[str, Any] = {}
 
         if cfg.variant == "base":
-            est = model.apply(params, mixed)
+            est = apply_fn(params, mixed)
             targets = jnp.concatenate([gt[:, :, None], batch["noises"]], axis=-1)
             loss = jnp.mean(pit_si_snr_loss(est, targets))
             metrics["snr_loss"] = loss
@@ -77,7 +93,7 @@ def make_loss_fn(model, cfg: TrainConfig, llm_apply: Callable | None = None):
         ctx = get_ctx(batch)
 
         if cfg.variant == "contsep":
-            est, logits = model.apply(params, mixed, ctx)
+            est, logits = apply_fn(params, mixed, ctx)
             # selection label: stream with highest SI-SNR vs gt (no grad)
             stream_snr = jax.lax.stop_gradient(
                 si_snr(est.transpose(0, 2, 1), gt[:, None, :])
@@ -103,7 +119,7 @@ def make_loss_fn(model, cfg: TrainConfig, llm_apply: Callable | None = None):
         kwargs = {}
         if cfg.variant == "hcontext":
             kwargs = dict(se=batch["se"], cue_index=_sample_cue(rng))
-        est = model.apply(params, mixed, ctx, **kwargs)
+        est = apply_fn(params, mixed, ctx, **kwargs)
         loss = -jnp.mean(si_snr(est[:, :, 0], gt))
         metrics["snr_loss"] = loss
         return loss, metrics
@@ -117,6 +133,7 @@ def make_train_step(
     cfg: TrainConfig,
     mesh=None,
     llm_apply: Callable | None = None,
+    fused: bool = False,
 ):
     """Compile the SPMD train step.
 
@@ -124,7 +141,7 @@ def make_train_step(
     With ``mesh``, the batch is consumed sharded over the data axis and
     params/opt state stay replicated (donated in-place).
     """
-    loss_fn = make_loss_fn(model, cfg, llm_apply)
+    loss_fn = make_loss_fn(model, cfg, llm_apply, fused=fused)
 
     def step(params, opt_state, batch, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -94,3 +94,43 @@ def test_gradients_match(setup):
         np.testing.assert_allclose(
             np.asarray(gw[k]), np.asarray(rw[k]), rtol=2e-3, atol=2e-3, err_msg=k
         )
+
+
+def test_full_train_step_fused_matches_xla(rng):
+    """Fused-kernel loss/grads == XLA model.apply loss/grads (ContExt, fp32)."""
+    import jax
+    from cse_tpu.models import Sepformer, SepformerConfig
+    from cse_tpu.train.step import TrainConfig, make_loss_fn
+
+    cfg = SepformerConfig(
+        variant="context", num_spks=2, enc_channels=32, enc_kernel=8,
+        enc_stride=4, d_model=32, nhead=4, d_ffn=64, num_tf_layers=2,
+        num_dp_layers=1, chunk_size=16, llm_dim=24, pe_max_len=256,
+        compute_dtype=jnp.float32,
+    )
+    model = Sepformer(cfg)
+    B, T = 2, 400
+    batch = {
+        "mixed": jnp.asarray(rng.standard_normal((B, T)).astype(np.float32)),
+        "gt": jnp.asarray(rng.standard_normal((B, T)).astype(np.float32)),
+        "ctx_feat": jnp.asarray(rng.standard_normal((B, 1, 24)).astype(np.float32)),
+    }
+    params = model.init(jax.random.key(0), batch["mixed"], batch["ctx_feat"])
+    tcfg = TrainConfig(variant="context")
+    key = jax.random.key(1)
+    for fused in (False, True):
+        fn = make_loss_fn(model, tcfg, fused=fused)
+        loss, _ = fn(params, batch, key)
+        grads = jax.grad(lambda p: fn(p, batch, key)[0])(params)
+        if fused:
+            assert abs(float(loss) - ref_loss) < 1e-3, (float(loss), ref_loss)
+            for (ka, a), (kb, b) in zip(
+                sorted(jax.tree_util.tree_leaves_with_path(grads), key=lambda t: str(t[0])),
+                sorted(ref_grads, key=lambda t: str(t[0])),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3, err_msg=str(ka)
+                )
+        else:
+            ref_loss = float(loss)
+            ref_grads = jax.tree_util.tree_leaves_with_path(grads)
