@@ -54,8 +54,9 @@ def main():
         )
         B, T = 2, 2000
     else:
+        # fused Pallas fwd+bwd stacks need no remat (only chunk inputs persist)
         cfg = SepformerConfig(
-            variant="context", num_spks=2, compute_dtype=jnp.bfloat16, remat="layer"
+            variant="context", num_spks=2, compute_dtype=jnp.bfloat16
         )
         from cse_tpu.ops.buckets import aligned_bucket
 
@@ -75,7 +76,9 @@ def main():
     params = model.init(jax.random.key(0), batch["mixed"][:, :2000], batch["ctx_feat"])
     tx = build_optimizer(cosine_warmup_schedule(1.5e-4, 500000, 10000))
     opt_state = tx.init(params)
-    step = make_train_step(model, tx, TrainConfig(variant="context"))
+    step = make_train_step(
+        model, tx, TrainConfig(variant="context"), fused=not args.smoke
+    )
 
     key = jax.random.key(1)
     for _ in range(args.warmup):

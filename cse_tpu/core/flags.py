@@ -97,6 +97,8 @@ def add_tpu_flags(p: argparse.ArgumentParser):
     p.add_argument("--remat", type=str, default="layer",
                    choices=["none", "block", "layer", "nested"])
     p.add_argument("--flash_attention", default=False, action="store_true")
+    p.add_argument("--fused_train", default=False, action="store_true",
+                   help="fused Pallas fwd+bwd transformer stacks (~2x step time)")
     p.add_argument("--no_aligned_buckets", dest="aligned_buckets",
                    default=True, action="store_false",
                    help="disable lane-aligned train buckets (exact reference cap)")

@@ -216,7 +216,10 @@ def train_net(args, variant: str):
                 step_num = int(restored["step"])
                 start_epoch = int(restored["epoch"])
 
-    train_step = make_train_step(model, tx, tcfg, mesh=mesh, llm_apply=llm)
+    train_step = make_train_step(
+        model, tx, tcfg, mesh=mesh, llm_apply=llm,
+        fused=getattr(args, "fused_train", False),
+    )
     eval_step = make_eval_step(model, tcfg, llm_apply=llm)
 
     schedule = build_schedule(args)
