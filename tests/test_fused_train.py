@@ -134,3 +134,38 @@ def test_full_train_step_fused_matches_xla(rng):
         else:
             ref_loss = float(loss)
             ref_grads = jax.tree_util.tree_leaves_with_path(grads)
+
+
+@pytest.mark.parametrize("variant", ["contsep", "hcontext"])
+def test_fused_loss_other_variants(rng, variant):
+    """Fused loss == XLA loss for the selector and speaker-cue variants."""
+    import jax
+    from cse_tpu.models import Sepformer, SepformerConfig
+    from cse_tpu.train.step import TrainConfig, make_loss_fn
+
+    cfg = SepformerConfig(
+        variant="context" if variant == "hcontext" else variant,
+        add_se=variant == "hcontext", num_spks=2, enc_channels=32,
+        enc_kernel=8, enc_stride=4, d_model=32, nhead=4, d_ffn=64,
+        num_tf_layers=1, num_dp_layers=1, chunk_size=16, llm_dim=24,
+        se_dim=12, pe_max_len=256, compute_dtype=jnp.float32, ce=True,
+    )
+    model = Sepformer(cfg)
+    B, T = 2, 400
+    batch = {
+        "mixed": jnp.asarray(rng.standard_normal((B, T)).astype(np.float32)),
+        "gt": jnp.asarray(rng.standard_normal((B, T)).astype(np.float32)),
+        "ctx_feat": jnp.asarray(rng.standard_normal((B, 1, 24)).astype(np.float32)),
+    }
+    init_kw = {}
+    if variant == "contsep":
+        batch["noises"] = jnp.asarray(rng.standard_normal((B, T, 1)).astype(np.float32))
+    if variant == "hcontext":
+        batch["se"] = jnp.asarray(rng.standard_normal((B, 1, 12)).astype(np.float32))
+        init_kw = dict(se=batch["se"], cue_index=jnp.asarray(0))
+    params = model.init(jax.random.key(0), batch["mixed"], batch["ctx_feat"], **init_kw)
+    tcfg = TrainConfig(variant=variant, use_ce=True)
+    key = jax.random.key(7)
+    l_ref, _ = make_loss_fn(model, tcfg)(params, batch, key)
+    l_fused, _ = make_loss_fn(model, tcfg, fused=True)(params, batch, key)
+    assert abs(float(l_ref) - float(l_fused)) < 2e-3, (float(l_ref), float(l_fused))
