@@ -62,8 +62,13 @@ class CascadedSelector:
             logits = np.asarray(self.scorer(jnp.asarray(ids), jnp.asarray(mask)))
             lp = jax.nn.log_softmax(jnp.asarray(logits[:, -len(cand_ids):]), axis=-1)
             return float(jnp.max(lp, axis=-1).sum() / len(cand_ids))
-        # deterministic stand-in score: hash-based pseudo likelihood
-        h = np.asarray([hash((context[-64:], t)) % 1000 for t in cand_ids], np.float64)
+        # deterministic stand-in score: stable-hash pseudo likelihood
+        import zlib
+
+        tail = context[-64:].encode()
+        h = np.asarray(
+            [zlib.crc32(tail + str(t).encode()) % 1000 for t in cand_ids], np.float64
+        )
         return float(-(h / 1000.0).mean())
 
     def select(self, candidates_8k: np.ndarray, context: str):
