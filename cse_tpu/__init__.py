@@ -12,7 +12,6 @@ ops       audio DSP + compute kernels (segmentation, attention, resampling,
           mixing, losses) — pure jnp with Pallas fast paths
 models    Sepformer dual-path separator (+CSE variants), Llama-3, ECAPA-TDNN,
           Whisper
-parallel  data/tensor-parallel train-step wrappers over jax.sharding.Mesh
 data      corpus indexing, host audio IO, tokenization, batch pipeline
 train     optimizer/schedules/train loops, checkpointing
 eval      streaming metrics (SI-SNR/SDR/improvements), evaluators

@@ -11,6 +11,22 @@ from __future__ import annotations
 import argparse
 
 
+def str2bool(v) -> bool:
+    """Real boolean parsing for flags like ``--ce False``.
+
+    The reference declares ``--ce`` as ``default=True`` with no type
+    (``train_ContSep.py:57``), so ``--ce False`` silently yields the truthy
+    string ``"False"`` — a footgun we fix while keeping the flag name/default.
+    """
+    if isinstance(v, bool):
+        return v
+    if str(v).lower() in ("true", "1", "yes", "y", "t"):
+        return True
+    if str(v).lower() in ("false", "0", "no", "n", "f"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
 def add_data_flags(p: argparse.ArgumentParser):
     p.add_argument("--dailytalk_data_path", default="dir_to/DailyTalk_processed")
     p.add_argument("--spokenwoz_data_path", default="dir_to/SpokenWoz_processed")
@@ -40,7 +56,7 @@ def add_data_flags(p: argparse.ArgumentParser):
 
 def add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--ctx_weight", type=float, default=1)
-    p.add_argument("--ce", default=True)
+    p.add_argument("--ce", type=str2bool, default=True)
     p.add_argument("--from_ckpt", default=False, action="store_true")
     p.add_argument("--temp_dir", type=str, default="")
     p.add_argument("--checkpoint_dir", type=str, default="./data/checkpoints/Sepformer")
@@ -63,7 +79,8 @@ def add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--start_epoch", type=int, default=0)
     p.add_argument("--start_step", type=int, default=0)
     p.add_argument("--mode", type=str, default="train")
-    p.add_argument("--reset_optimizer", default=False, action="store_true")
+    p.add_argument("--reset_optimizer", default=False, action="store_true",
+                   help="with --from_ckpt: keep step/epoch but re-init optimizer moments")
     p.add_argument("--fp16", default=False, action="store_true")
     p.add_argument("--bf16", default=False, action="store_true")
     p.add_argument("--generate_speech", default=False, action="store_true")

@@ -57,7 +57,6 @@ class PipelineConfig:
     context_length: int = 0
     max_ctx_tokens: int = 512
     return_16k_gt: bool = False
-    one_sec: bool = False
     # shrink the train bucket (<=10%) so the dual-path inter sequence fits the
     # 128-lane tile exactly — ~34% faster train steps on v5e (see ops/buckets)
     aligned_buckets: bool = False

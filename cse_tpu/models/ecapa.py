@@ -32,39 +32,53 @@ import numpy as np
 
 @lru_cache(maxsize=4)
 def _mel_matrix(n_mels=80, n_fft=400, sr=16000, f_min=0.0, f_max=8000.0):
+    """speechbrain-style triangular filterbank [n_fft//2+1, n_mels].
+
+    speechbrain's Filterbank builds SYMMETRIC triangles: filter m is centered
+    at hz[m+1] with HALF-WIDTH band[m] = hz[m+1]-hz[m] on BOTH sides (the
+    left mel gap), peak 1.0, no area normalization — distinct from the
+    classic asymmetric HTK triangle and from librosa's slaney filters.
+    """
+
     def hz_to_mel(f):
         return 2595.0 * np.log10(1.0 + f / 700.0)
 
     def mel_to_hz(m):
         return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
 
-    mels = np.linspace(hz_to_mel(f_min), hz_to_mel(f_max), n_mels + 2)
-    hz = mel_to_hz(mels)
-    bins = np.floor((n_fft + 1) * hz / sr).astype(int)
-    fb = np.zeros((n_fft // 2 + 1, n_mels), np.float32)
-    for m in range(n_mels):
-        lo, c, hi = bins[m], bins[m + 1], bins[m + 2]
-        for k in range(lo, c):
-            if c > lo:
-                fb[k, m] = (k - lo) / (c - lo)
-        for k in range(c, hi):
-            if hi > c:
-                fb[k, m] = (hi - k) / (hi - c)
-    return fb
+    all_freqs = np.linspace(0.0, sr // 2, n_fft // 2 + 1)
+    hz = mel_to_hz(np.linspace(hz_to_mel(f_min), hz_to_mel(f_max), n_mels + 2))
+    f_central = hz[1:-1]  # [n_mels]
+    band = (hz[1:] - hz[:-1])[:n_mels]  # left gap per filter
+    slope = (all_freqs[None, :] - f_central[:, None]) / band[:, None]
+    fb = np.maximum(0.0, np.minimum(slope + 1.0, 1.0 - slope))
+    return fb.T.astype(np.float32)  # [freq, n_mels]
 
 
-def log_mel_fbank(wav: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
-    """[B, T] @16k -> [B, frames, n_mels] log-mel features, mean-normed."""
+def log_mel_fbank(wav: jnp.ndarray, n_mels: int = 80, top_db: float = 80.0) -> jnp.ndarray:
+    """[B, T] @16k -> [B, 1+T//hop, n_mels] log-mel features, mean-normed.
+
+    Reproduces the speechbrain Fbank -> InputNormalization(sentence, no std)
+    chain the reference's EncoderClassifier runs before the ECAPA net
+    (``train_HContExt.py:165-171``): centered STFT (constant pad, periodic
+    hamming window, 25 ms / 10 ms), power spectrum, symmetric mel triangles,
+    10*log10 with amin=1e-10, per-utterance top_db clamp, then sentence-level
+    mean subtraction.
+    """
     win, hop, n_fft = 400, 160, 400
     B, T = wav.shape
-    n_frames = max(1 + (T - win) // hop, 1)
+    n_frames = 1 + T // hop
+    wav = jnp.pad(wav, ((0, 0), (n_fft // 2, n_fft // 2)))  # center, constant
     idx = jnp.arange(win)[None, :] + hop * jnp.arange(n_frames)[:, None]
     frames = wav[:, idx]  # [B, F, win]
-    window = jnp.asarray(np.hamming(win).astype(np.float32))
+    window = jnp.asarray(np.hamming(win + 1)[:-1].astype(np.float32))  # periodic
     spec = jnp.fft.rfft(frames * window[None, None, :], n=n_fft, axis=-1)
     power = (spec.real**2 + spec.imag**2).astype(jnp.float32)
     mel = power @ jnp.asarray(_mel_matrix(n_mels, n_fft))
     logmel = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    logmel = jnp.maximum(
+        logmel, logmel.max(axis=(1, 2), keepdims=True) - top_db
+    )
     # per-utterance mean normalization (speechbrain mean_var_norm, std off)
     return logmel - logmel.mean(axis=1, keepdims=True)
 
@@ -121,11 +135,16 @@ def _se_res2net(x, p, scale, dilation):
     return x + r
 
 
-def _asp(x, p):
-    """Attentive statistics pooling with global context. x: [B, T, C]."""
+def _asp(x, p, eps=1e-12):
+    """Attentive statistics pooling with global context. x: [B, T, C].
+
+    speechbrain AttentiveStatisticsPooling semantics (global_context=True,
+    eps=1e-12): biased time stats, TDNN->tanh->conv attention, softmax over
+    time, attention-weighted mean/std.
+    """
     B, T, C = x.shape
     mean = x.mean(axis=1, keepdims=True)
-    std = jnp.sqrt(jnp.clip(jnp.var(x, axis=1, keepdims=True), 1e-4))
+    std = jnp.sqrt(jnp.clip(jnp.var(x, axis=1, keepdims=True), eps))
     glob = jnp.concatenate(
         [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)], -1
     )
@@ -133,7 +152,7 @@ def _asp(x, p):
     a = _conv1d(a, p["w"], p["b"])  # [B, T, C]
     a = jax.nn.softmax(a, axis=1)
     mu = jnp.sum(a * x, axis=1)
-    sg = jnp.sqrt(jnp.clip(jnp.sum(a * x * x, axis=1) - mu * mu, 1e-4))
+    sg = jnp.sqrt(jnp.clip(jnp.sum(a * x * x, axis=1) - mu * mu, eps))
     return jnp.concatenate([mu, sg], axis=-1)  # [B, 2C]
 
 
@@ -146,10 +165,10 @@ def ecapa_forward(params: dict, wav: jnp.ndarray) -> jnp.ndarray:
         x = _se_res2net(x, params[f"layer{i+2}"], scale=8, dilation=dil)
         outs.append(x)
     x = jnp.concatenate(outs, axis=-1)  # MFA concat [B, T, 3072]
-    x = jax.nn.relu(_conv1d(x, params["mfa"]["w"], params["mfa"]["b"]))
+    x = _tdnn(x, params["mfa"], 1)  # full TDNN block: conv + ReLU + BN
     x = _asp(x, params["asp"])
     x = _bn(x[:, None, :], params["asp_bn"])[:, 0]
-    emb = (x[:, None, :] @ params["fc"]["w"])[:, 0]
+    emb = (x[:, None, :] @ params["fc"]["w"])[:, 0] + params["fc"]["b"]
     return emb
 
 
@@ -201,18 +220,19 @@ def ecapa_from_state_dict(sd: dict) -> dict:
             },
         }
         p[f"layer{li+2}"] = layer
-    p["mfa"] = {
-        "w": _cv(sd["mfa.conv.conv.weight"]),
-        "b": np.asarray(sd["mfa.conv.conv.bias"], np.float32),
-    }
+    p["mfa"] = _tdnn_params(sd, "mfa")  # conv + ReLU + BN (speechbrain TDNNBlock)
     p["asp"] = {
         "tdnn": _tdnn_params(sd, "asp.tdnn"),
         "w": _cv(sd["asp.conv.conv.weight"]),
         "b": np.asarray(sd["asp.conv.conv.bias"], np.float32),
     }
     p["asp_bn"] = _bn_params(sd, "asp_bn.norm")
-    # fc is a k=1 conv [192, 6144, 1] -> dense [6144, 192]
-    p["fc"] = {"w": np.asarray(sd["fc.conv.conv.weight"], np.float32)[:, :, 0].T}
+    # fc is a bare speechbrain Conv1d (keys fc.conv.*, unlike the TDNN blocks'
+    # fc.conv.conv.*): k=1 conv [192, 6144, 1] -> dense [6144, 192] (+ bias)
+    p["fc"] = {
+        "w": np.asarray(sd["fc.conv.weight"], np.float32)[:, :, 0].T,
+        "b": np.asarray(sd["fc.conv.bias"], np.float32),
+    }
     return p
 
 
@@ -250,10 +270,7 @@ def random_ecapa_params(key, channels=1024, n_mels=80, emb=192, scale=8) -> dict
             "res2net": {f"block_{i}": conv(3, hidden, hidden) for i in range(scale - 1)},
         }
     cat = channels * 3
-    p["mfa"] = {
-        "w": (rng.standard_normal((1, cat, cat)) * 0.02).astype(np.float32),
-        "b": np.zeros(cat, np.float32),
-    }
+    p["mfa"] = conv(1, cat, cat)
     p["asp"] = {
         "tdnn": conv(1, cat * 3, 128),
         "w": (rng.standard_normal((1, 128, cat)) * 0.05).astype(np.float32),
@@ -265,7 +282,10 @@ def random_ecapa_params(key, channels=1024, n_mels=80, emb=192, scale=8) -> dict
         "mean": np.zeros(cat * 2, np.float32),
         "var": np.ones(cat * 2, np.float32),
     }
-    p["fc"] = {"w": (rng.standard_normal((cat * 2, emb)) * 0.01).astype(np.float32)}
+    p["fc"] = {
+        "w": (rng.standard_normal((cat * 2, emb)) * 0.01).astype(np.float32),
+        "b": np.zeros(emb, np.float32),
+    }
     return p
 
 

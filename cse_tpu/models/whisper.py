@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -67,14 +67,65 @@ class WhisperConfig:
 _WHISPER_N_FFT, _WHISPER_HOP = 400, 160
 
 
+def _hz_to_mel_slaney(f: np.ndarray) -> np.ndarray:
+    f = np.asarray(f, np.float64)
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    logstep = np.log(6.4) / 27.0
+    return np.where(
+        f >= min_log_hz,
+        min_log_hz / f_sp + np.log(np.maximum(f, min_log_hz) / min_log_hz) / logstep,
+        f / f_sp,
+    )
+
+
+def _mel_to_hz_slaney(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, np.float64)
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(
+        m >= min_log_mel,
+        min_log_hz * np.exp(logstep * (m - min_log_mel)),
+        f_sp * m,
+    )
+
+
+@lru_cache(maxsize=4)
+def mel_filters_slaney(n_mels: int = 80, n_fft: int = 400, sr: int = 16000) -> np.ndarray:
+    """Slaney-scale, slaney-normalized triangular mel filterbank
+    [n_fft//2+1, n_mels].
+
+    Reproduces ``librosa.filters.mel(sr=16000, n_fft=400, n_mels=80)``
+    semantics (slaney mel scale, area normalization) — the filterbank OpenAI
+    whisper ships precomputed in ``mel_filters.npz`` and applies in its
+    log-mel frontend (consumed by the reference at ``test_cascaded.py:224``).
+    """
+    fft_freqs = np.linspace(0.0, sr / 2.0, n_fft // 2 + 1)
+    mel_pts = _mel_to_hz_slaney(
+        np.linspace(_hz_to_mel_slaney(0.0), _hz_to_mel_slaney(sr / 2.0), n_mels + 2)
+    )
+    fdiff = np.diff(mel_pts)
+    ramps = mel_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1][:, None]
+    upper = ramps[2:] / fdiff[1:][:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    # slaney area norm: each filter integrates to ~2/bandwidth
+    weights *= (2.0 / (mel_pts[2:] - mel_pts[:-2]))[:, None]
+    return weights.T.astype(np.float32)
+
+
 def whisper_log_mel(wav: jnp.ndarray, n_mels: int = 80, n_frames: int = 3000) -> jnp.ndarray:
     """[B, T]@16k (padded/trimmed to 30 s) -> [B, n_frames, n_mels].
 
-    Whisper's frontend: hann-window STFT, mel, log10, max-normalized clamp.
+    Whisper's frontend: pad_or_trim to ``n_frames*hop`` samples, centered
+    hann-window STFT (reflect pad), drop of the final STFT frame, slaney mel,
+    log10, per-utterance max-8dB clamp, (x+4)/4 scaling. With the input
+    padded to an exact hop multiple, torch.stft(center=True) yields
+    ``n_frames+1`` frames and whisper keeps ``[..., :-1]`` — i.e. exactly
+    frames 0..n_frames-1, which is what the gather below computes.
     """
-    from cse_tpu.models.ecapa import _mel_matrix
-
-    B = wav.shape[0]
     T = n_frames * _WHISPER_HOP
     wav = jnp.pad(wav[:, :T], ((0, 0), (0, max(0, T - wav.shape[1]))))
     wav = jnp.pad(wav, ((0, 0), (_WHISPER_N_FFT // 2, _WHISPER_N_FFT // 2)), mode="reflect")
@@ -83,7 +134,7 @@ def whisper_log_mel(wav: jnp.ndarray, n_mels: int = 80, n_frames: int = 3000) ->
     window = jnp.asarray(np.hanning(_WHISPER_N_FFT + 1)[:-1].astype(np.float32))
     spec = jnp.fft.rfft(frames * window[None, None, :], axis=-1)
     power = (spec.real**2 + spec.imag**2).astype(jnp.float32)
-    mel = power @ jnp.asarray(_mel_matrix(n_mels, _WHISPER_N_FFT, 16000, 0.0, 8000.0))
+    mel = power @ jnp.asarray(mel_filters_slaney(n_mels, _WHISPER_N_FFT, 16000))
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     log_spec = jnp.maximum(
         log_spec, log_spec.max(axis=(1, 2), keepdims=True) - 8.0

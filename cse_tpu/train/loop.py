@@ -19,14 +19,13 @@ decode and tokenize.
 from __future__ import annotations
 
 import os
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from cse_tpu.compat.torch_import import sepformer_from_state_dict
-from cse_tpu.core.mesh import make_mesh, shard_batch
+from cse_tpu.core.mesh import distributed_init_if_needed, make_mesh, shard_batch
 from cse_tpu.data import datasets as ds
 from cse_tpu.data.pipeline import EvalLoader, PipelineConfig, TrainLoader, prefetch
 from cse_tpu.data.tokenizer import load_tokenizer
@@ -34,14 +33,17 @@ from cse_tpu.models import Sepformer, SepformerConfig
 from cse_tpu.models.context_encoder import build_context_encoder
 from cse_tpu.ops.losses import si_snr
 from cse_tpu.train import checkpoint as ckpt_lib
-from cse_tpu.train.optimizer import build_optimizer
+from cse_tpu.train.optimizer import (
+    build_optimizer,
+    set_plateau_scale,
+)
 from cse_tpu.train.schedules import (
     ReduceLROnPlateau,
     cosine_warmup_schedule,
     linear_warmup_schedule,
 )
 from cse_tpu.train.step import TrainConfig, make_eval_step, make_train_step
-from cse_tpu.utils.logging import MetricLogger
+from cse_tpu.utils.logging import IterTimer, MetricLogger
 from cse_tpu.utils.profiling import profile_dir_from_env, trace_if
 
 
@@ -135,6 +137,9 @@ def train_net(args, variant: str):
     assert variant in ("base", "contsep", "context", "hcontext")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # multi-host rendezvous before any device use (the torchrun/idr_torch
+    # replacement, reference train_ContSep.py:114-132)
+    distributed_init_if_needed()
     if args.synthetic_smoke:
         args = setup_synthetic(args)
 
@@ -189,6 +194,7 @@ def train_net(args, variant: str):
     opt_state = tx.init(params)
     plateau = ReduceLROnPlateau() if args.plateau else None
     step_num, start_epoch = args.start_step, args.start_epoch
+    best_val = 0.0
 
     # ---- resume / warm start (reference train_ContSep.py:179-214)
     if args.resume and args.checkpoint is None:
@@ -197,12 +203,29 @@ def train_net(args, variant: str):
             print(f"[cse_tpu] Resume with the latest checkpoint {args.checkpoint}")
     if args.checkpoint:
         print(f"[cse_tpu] Loading checkpoint: {args.checkpoint}")
-        restored = ckpt_lib.restore_checkpoint(
-            args.checkpoint,
-            template=None if _is_torch(args.checkpoint) else {
-                "params": params, "opt_state": opt_state, "step": 0, "epoch": 0,
-            },
-        )
+        try:
+            restored = ckpt_lib.restore_checkpoint(
+                args.checkpoint,
+                template=None if _is_torch(args.checkpoint) else {
+                    "params": params, "opt_state": opt_state, "step": 0, "epoch": 0,
+                    "best_val": 0.0,
+                    "plateau": ReduceLROnPlateau().state_dict(),
+                },
+            )
+        except Exception:
+            # structurally older orbax checkpoint: raw-restore the weights and
+            # counters; optimizer moments are re-initialized
+            raw = ckpt_lib.restore_checkpoint(args.checkpoint, template=None)
+            print("[cse_tpu] checkpoint predates the current optimizer state "
+                  "layout; restoring weights/step only")
+            restored = {
+                "params": jax.tree.map(jnp.asarray, raw["params"]),
+                "opt_state": None,
+                "step": raw.get("step", 0), "epoch": raw.get("epoch", 0),
+                "best_val": raw.get("best_val", 0.0),
+                "plateau": raw.get("plateau"),
+            }
+            args.reset_optimizer = True
         if "state_dict" in restored:  # released PyTorch weights (warm start)
             params = sepformer_from_state_dict(restored["state_dict"])
             if args.from_ckpt:
@@ -212,9 +235,19 @@ def train_net(args, variant: str):
         else:
             params = restored["params"]
             if args.from_ckpt:
-                opt_state = restored["opt_state"]
                 step_num = int(restored["step"])
                 start_epoch = int(restored["epoch"])
+                if args.reset_optimizer:
+                    opt_state = tx.init(params)  # fresh moments, keep step/epoch
+                else:
+                    opt_state = restored["opt_state"]
+                best_val = float(restored.get("best_val", 0.0))
+                if plateau is not None and restored.get("plateau") is not None:
+                    plateau.load_state_dict(
+                        {k: v.item() if hasattr(v, "item") else v
+                         for k, v in restored["plateau"].items()}
+                    )
+                    opt_state = set_plateau_scale(opt_state, plateau.scale)
 
     train_step = make_train_step(
         model, tx, tcfg, mesh=mesh, llm_apply=llm,
@@ -308,18 +341,16 @@ def train_net(args, variant: str):
     # smoke validation before training (reference :282 "debug the pipeline")
     validate(params, fast_validate=True)
 
-    best_val = 0.0
     print(f"[cse_tpu] starting at step {step_num}, epoch {start_epoch}")
     stop = False
     for epoch in range(start_epoch, args.epochs):
         if stop:
             break
         print(f"Epoch [{epoch}/{args.epochs}]")
-        prev_time = time.time()
+        timer = IterTimer(args.log_every)
         for i, host in enumerate(prefetch(train_loader.batches(epoch))):
             if i % args.log_every == 0:
-                iter_time = (time.time() - prev_time) / max(args.log_every, 1)
-                prev_time = time.time()
+                iter_time = timer.lap()
                 print(
                     "******** Training [%d / %d] : %d / %d, Iter Time : %.3f sec ********"
                     % (epoch, args.epochs, (i + 1) * B, len(files), iter_time)
@@ -345,6 +376,8 @@ def train_net(args, variant: str):
                 writer.scalars(vals, step_num, prefix="train/")
                 writer.scalar("train/SI-SNR", -vals.get("snr_loss", 0.0), step_num)
                 lr = schedule(step_num) if callable(schedule) else schedule
+                if plateau is not None:
+                    lr = lr * plateau.scale
                 writer.scalar("lr/learning_rate", float(lr), step_num)
             if step_num % 100 == 0:
                 print(
@@ -376,17 +409,25 @@ def train_net(args, variant: str):
             if step_num % args.eval_step == 0:
                 val = validate(params, fast_validate=True, epoch=epoch, step=step_num)
                 if plateau is not None and step_num >= args.no_reduce:
+                    prev_scale = plateau.scale
                     plateau.step(val)
+                    if plateau.scale != prev_scale:
+                        # push the new lr scale into the optimizer state (the
+                        # torch param_group-mutation equivalent)
+                        opt_state = set_plateau_scale(opt_state, plateau.scale)
+                        print(f"[cse_tpu] plateau: lr scale -> {plateau.scale:g}")
+                best_val = max(best_val, val)
                 state = {
                     "params": params, "opt_state": opt_state,
                     "step": step_num, "epoch": epoch,
+                    "best_val": best_val,
+                    "plateau": (plateau or ReduceLROnPlateau()).state_dict(),
                 }
                 print(f"Saving checkpoint for Epoch: {epoch}")
                 ckpt_lib.save_checkpoint(
                     args.checkpoint_dir, epoch, step_num, val, state
                 )
                 if val >= best_val:
-                    best_val = val
                     ckpt_lib.save_checkpoint(
                         args.checkpoint_dir, epoch, step_num, val, state, best=True
                     )

@@ -1,8 +1,13 @@
-"""ECAPA-TDNN: shape/invariant tests + importer key-mapping roundtrip."""
+"""ECAPA-TDNN: numerical parity vs a compact torch oracle (speechbrain
+architecture + key layout, reference ``train_HContExt.py:165-171``), plus
+shape/invariant tests and importer key-mapping roundtrip."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
 
 from cse_tpu.models.ecapa import (
     EcapaEncoder,
@@ -12,11 +17,202 @@ from cse_tpu.models.ecapa import (
     random_ecapa_params,
 )
 
+# ---------------------------------------------------------------------------
+# compact torch oracle: speechbrain Fbank + ECAPA_TDNN semantics and key names
+# (same methodology as the Sepformer oracle in test_model_parity.py)
+# ---------------------------------------------------------------------------
+
+
+def _torch_fbank(wav: torch.Tensor, n_mels: int = 80) -> torch.Tensor:
+    """speechbrain Fbank: centered constant-pad STFT (periodic hamming,
+    25/10 ms), power spectrum, symmetric mel triangles (speechbrain
+    Filterbank's slope construction), 10*log10 amin=1e-10, top_db=80,
+    then sentence mean-norm (InputNormalization, std off)."""
+    stft = torch.stft(
+        wav, n_fft=400, hop_length=160, win_length=400,
+        window=torch.hamming_window(400), center=True, pad_mode="constant",
+        normalized=False, onesided=True, return_complex=True,
+    )
+    power = (stft.real**2 + stft.imag**2).transpose(1, 2)  # [B, frames, freq]
+
+    all_freqs = torch.linspace(0, 8000, 201)
+    to_mel = lambda hz: 2595 * torch.log10(1 + hz / 700)
+    to_hz = lambda mel: 700 * (10 ** (mel / 2595) - 1)
+    mel = torch.linspace(to_mel(torch.tensor(0.0)), to_mel(torch.tensor(8000.0)), n_mels + 2)
+    hz = to_hz(mel)
+    band = (hz[1:] - hz[:-1])[:-1]
+    f_central = hz[1:-1]
+    slope = (all_freqs[None, :] - f_central[:, None]) / band[:, None]
+    fb = torch.clamp(torch.min(slope + 1.0, 1.0 - slope), min=0.0)  # [mel, freq]
+
+    x = power @ fb.T
+    x_db = 10.0 * torch.log10(torch.clamp(x, min=1e-10))
+    x_db = torch.max(x_db, x_db.amax(dim=(1, 2), keepdim=True) - 80.0)
+    return x_db - x_db.mean(dim=1, keepdim=True)
+
+
+class _Conv(nn.Module):  # speechbrain Conv1d wrapper -> ".conv" child
+    def __init__(self, cin, cout, k, dilation=1):
+        super().__init__()
+        self.conv = nn.Conv1d(cin, cout, k, dilation=dilation,
+                              padding=(k - 1) * dilation // 2)
+
+
+class _BN(nn.Module):  # speechbrain BatchNorm1d wrapper -> ".norm" child
+    def __init__(self, c):
+        super().__init__()
+        self.norm = nn.BatchNorm1d(c)
+
+
+class _TDNN(nn.Module):  # speechbrain TDNNBlock: conv -> ReLU -> BN
+    def __init__(self, cin, cout, k, dilation=1):
+        super().__init__()
+        self.conv = _Conv(cin, cout, k, dilation)
+        self.norm = _BN(cout)
+
+    def forward(self, x):
+        return self.norm.norm(F.relu(self.conv.conv(x)))
+
+
+class _Res2Net(nn.Module):
+    def __init__(self, C, scale, k, dilation):
+        super().__init__()
+        h = C // scale
+        self.blocks = nn.ModuleList(
+            [_TDNN(h, h, k, dilation) for _ in range(scale - 1)]
+        )
+        self.scale = scale
+
+    def forward(self, x):
+        y = []
+        for i, xi in enumerate(torch.chunk(x, self.scale, dim=1)):
+            if i == 0:
+                yi = xi
+            elif i == 1:
+                yi = self.blocks[i - 1](xi)
+            else:
+                yi = self.blocks[i - 1](xi + yi)
+            y.append(yi)
+        return torch.cat(y, dim=1)
+
+
+class _SE(nn.Module):
+    def __init__(self, C, att):
+        super().__init__()
+        self.conv1 = _Conv(C, att, 1)
+        self.conv2 = _Conv(att, C, 1)
+
+    def forward(self, x):
+        s = x.mean(dim=2, keepdim=True)
+        s = torch.sigmoid(self.conv2.conv(F.relu(self.conv1.conv(s))))
+        return x * s
+
+
+class _SERes2Net(nn.Module):
+    def __init__(self, C, scale, att, dilation):
+        super().__init__()
+        self.tdnn1 = _TDNN(C, C, 1)
+        self.res2net_block = _Res2Net(C, scale, 3, dilation)
+        self.tdnn2 = _TDNN(C, C, 1)
+        self.se_block = _SE(C, att)
+
+    def forward(self, x):
+        r = x
+        x = self.tdnn1(x)
+        x = self.res2net_block(x)
+        x = self.tdnn2(x)
+        return self.se_block(x) + r
+
+
+class _ASP(nn.Module):  # AttentiveStatisticsPooling, global_context=True
+    def __init__(self, C, att, eps=1e-12):
+        super().__init__()
+        self.tdnn = _TDNN(C * 3, att, 1)
+        self.conv = _Conv(att, C, 1)
+        self.eps = eps
+
+    def forward(self, x):  # [B, C, T]
+        mean = x.mean(dim=2, keepdim=True)
+        std = torch.sqrt(torch.clamp(x.var(dim=2, keepdim=True, unbiased=False), min=self.eps))
+        glob = torch.cat([x, mean.expand_as(x), std.expand_as(x)], dim=1)
+        a = self.conv.conv(torch.tanh(self.tdnn(glob)))
+        a = torch.softmax(a, dim=2)
+        mu = (a * x).sum(dim=2)
+        sg = torch.sqrt(torch.clamp((a * x * x).sum(dim=2) - mu**2, min=self.eps))
+        return torch.cat([mu, sg], dim=1).unsqueeze(2)  # [B, 2C, 1]
+
+
+class _TorchEcapa(nn.Module):
+    """speechbrain ECAPA_TDNN with the released checkpoint's key layout."""
+
+    def __init__(self, n_mels=80, C=64, scale=8, att=32, emb=16):
+        super().__init__()
+        self.blocks = nn.ModuleList(
+            [_TDNN(n_mels, C, 5)]
+            + [_SERes2Net(C, scale, att, d) for d in (2, 3, 4)]
+        )
+        self.mfa = _TDNN(3 * C, 3 * C, 1)
+        self.asp = _ASP(3 * C, att)
+        self.asp_bn = _BN(6 * C)
+        self.fc = _Conv(6 * C, emb, 1)
+
+    def forward(self, feats):  # [B, T, n_mels]
+        x = feats.transpose(1, 2)
+        x = self.blocks[0](x)
+        outs = []
+        for blk in self.blocks[1:]:
+            x = blk(x)
+            outs.append(x)
+        x = self.mfa(torch.cat(outs, dim=1))
+        x = self.asp(x)
+        x = self.asp_bn.norm(x)
+        return self.fc.conv(x)[:, :, 0]  # [B, emb]
+
+
+def _randomize_bn(model: nn.Module, g: torch.Generator):
+    """Give BN layers non-trivial stats/affine so parity actually tests them."""
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm1d):
+            c = m.num_features
+            m.running_mean.copy_(torch.randn(c, generator=g) * 0.2)
+            m.running_var.copy_(torch.rand(c, generator=g) * 0.5 + 0.5)
+            m.weight.data.copy_(torch.rand(c, generator=g) + 0.5)
+            m.bias.data.copy_(torch.randn(c, generator=g) * 0.1)
+
+
+def test_fbank_matches_torch_oracle(rng):
+    wav = (rng.standard_normal((2, 12000)) * 0.3).astype(np.float32)
+    ours = np.asarray(log_mel_fbank(jnp.asarray(wav)))
+    ref = _torch_fbank(torch.from_numpy(wav)).numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_ecapa_matches_torch_oracle(rng):
+    """Full chain wav -> fbank -> embedding vs the torch oracle <= 1e-4
+    (VERDICT missing #4: same compact-oracle methodology as the Sepformer)."""
+    torch.manual_seed(0)
+    g = torch.Generator().manual_seed(1)
+    model = _TorchEcapa()
+    _randomize_bn(model, g)
+    model.eval()
+
+    wav = (rng.standard_normal((2, 12000)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        feats = _torch_fbank(torch.from_numpy(wav))
+        ref = model(feats).numpy()
+
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, ecapa_from_state_dict(sd))
+    ours = np.asarray(ecapa_forward(params, jnp.asarray(wav)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
 
 def test_fbank_shape_and_norm(rng):
     wav = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32))
     f = log_mel_fbank(wav)
-    assert f.shape == (2, 1 + (16000 - 400) // 160, 80)
+    # centered STFT: 1 + T//hop frames (speechbrain semantics)
+    assert f.shape == (2, 1 + 16000 // 160, 80)
     np.testing.assert_allclose(np.asarray(f).mean(axis=1), 0.0, atol=1e-4)
 
 
@@ -69,8 +265,7 @@ def test_importer_roundtrip_shapes():
         sd[f"blocks.{li}.se_block.conv2.conv.weight"] = np.random.randn(C, att, 1).astype(np.float32)
         sd[f"blocks.{li}.se_block.conv2.conv.bias"] = np.zeros(C, np.float32)
     cat = 3 * C
-    sd["mfa.conv.conv.weight"] = np.random.randn(cat, cat, 1).astype(np.float32)
-    sd["mfa.conv.conv.bias"] = np.zeros(cat, np.float32)
+    add_tdnn("mfa", 1, cat, cat)
     add_tdnn("asp.tdnn", 1, cat * 3, att)
     sd["asp.conv.conv.weight"] = np.random.randn(cat, att, 1).astype(np.float32)
     sd["asp.conv.conv.bias"] = np.zeros(cat, np.float32)
@@ -79,7 +274,8 @@ def test_importer_roundtrip_shapes():
         ("running_mean", np.zeros(cat * 2)), ("running_var", np.ones(cat * 2)),
     ):
         sd[f"asp_bn.norm.{stat}"] = val.astype(np.float32)
-    sd["fc.conv.conv.weight"] = np.random.randn(emb, cat * 2, 1).astype(np.float32)
+    sd["fc.conv.weight"] = np.random.randn(emb, cat * 2, 1).astype(np.float32)
+    sd["fc.conv.bias"] = np.zeros(emb, np.float32)
 
     params = ecapa_from_state_dict(sd)
     enc = EcapaEncoder(params=params)

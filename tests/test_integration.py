@@ -2,20 +2,11 @@
 model, CPU), including the 8-way data-parallel mesh path through the CLI
 layer — the fast_validate smoke of SURVEY.md §4 turned into CI."""
 
-import os
-
 import numpy as np
 import pytest
 
 from cse_tpu.core.flags import parse_train_args
 from cse_tpu.train.loop import train_net
-
-# ~2 min per variant on a 1-core host; the CLI --synthetic_smoke runs cover
-# the same path, so these run only when explicitly requested.
-pytestmark = pytest.mark.skipif(
-    not os.environ.get("CSE_RUN_SLOW"),
-    reason="slow integration tests; set CSE_RUN_SLOW=1",
-)
 
 
 def _args(extra):

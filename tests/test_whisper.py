@@ -1,15 +1,20 @@
-"""Whisper: frontend shapes, encoder determinism, greedy decode mechanics,
-and importer key mapping — on a tiny random config (no released weights in
-this environment)."""
+"""Whisper: numerical parity vs oracles (HF WhisperFeatureExtractor for the
+log-mel frontend; a compact torch Whisper in the OpenAI ``base.pt`` layout
+for encoder/decoder, same methodology as the Sepformer oracle), plus decode
+mechanics and importer key mapping."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
 
 from cse_tpu.models.whisper import (
     WhisperASR,
     WhisperConfig,
+    mel_filters_slaney,
     random_whisper_params,
     whisper_encode,
     whisper_from_state_dict,
@@ -27,6 +32,196 @@ TINY = WhisperConfig(
 def _mel(rng, B=1, cfg=TINY):
     wav = jnp.asarray(rng.standard_normal((B, cfg.n_audio_ctx * 2 * 160)).astype(np.float32))
     return whisper_log_mel(wav, cfg.n_mels, n_frames=cfg.n_audio_ctx * 2)
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+
+def test_mel_filters_match_slaney_oracle():
+    """Our filterbank == librosa-semantics slaney filters (the matrix OpenAI
+    whisper ships in mel_filters.npz), via transformers.audio_utils."""
+    from transformers.audio_utils import mel_filter_bank
+
+    ours = mel_filters_slaney(80, 400, 16000)
+    ref = mel_filter_bank(
+        num_frequency_bins=201, num_mel_filters=80, min_frequency=0.0,
+        max_frequency=8000.0, sampling_rate=16000, norm="slaney",
+        mel_scale="slaney",
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-7)
+
+
+def test_log_mel_matches_whisper_frontend(rng):
+    """Full log-mel vs HF WhisperFeatureExtractor (which reproduces OpenAI
+    whisper's pad/STFT/mel/clamp chain exactly) — VERDICT missing #3."""
+    from transformers import WhisperFeatureExtractor
+
+    wav = (rng.standard_normal(16000 * 3) * 0.2).astype(np.float32)
+    fe = WhisperFeatureExtractor()
+    ref = fe([wav], sampling_rate=16000, return_tensors="np")["input_features"][0]
+    ours = np.asarray(whisper_log_mel(jnp.asarray(wav[None])))[0].T
+    assert ours.shape == ref.shape == (80, 3000)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+class _TorchMHA(nn.Module):
+    """OpenAI whisper MultiHeadAttention: q/k scaled by d_head**-0.25,
+    key has no bias."""
+
+    def __init__(self, D, H):
+        super().__init__()
+        self.query = nn.Linear(D, D)
+        self.key = nn.Linear(D, D, bias=False)
+        self.value = nn.Linear(D, D)
+        self.out = nn.Linear(D, D)
+        self.H = H
+
+    def forward(self, x, xa=None, causal=False):
+        src = x if xa is None else xa
+        q, k, v = self.query(x), self.key(src), self.value(src)
+        B, Tq, D = q.shape
+        Tk = k.shape[1]
+        hd = D // self.H
+        scale = hd**-0.25
+        q = q.view(B, Tq, self.H, hd).permute(0, 2, 1, 3) * scale
+        k = k.view(B, Tk, self.H, hd).permute(0, 2, 1, 3) * scale
+        v = v.view(B, Tk, self.H, hd).permute(0, 2, 1, 3)
+        logits = q @ k.transpose(-1, -2)
+        if causal:
+            mask = torch.full((Tq, Tk), float("-inf")).triu(1)
+            logits = logits + mask
+        w = torch.softmax(logits.float(), dim=-1)
+        out = (w @ v).permute(0, 2, 1, 3).reshape(B, Tq, D)
+        return self.out(out)
+
+
+class _TorchBlock(nn.Module):
+    def __init__(self, D, H, cross=False):
+        super().__init__()
+        self.attn_ln = nn.LayerNorm(D)
+        self.attn = _TorchMHA(D, H)
+        if cross:
+            self.cross_attn_ln = nn.LayerNorm(D)
+            self.cross_attn = _TorchMHA(D, H)
+        self.mlp_ln = nn.LayerNorm(D)
+        self.mlp = nn.Sequential(nn.Linear(D, 4 * D), nn.GELU(), nn.Linear(4 * D, D))
+        self.cross = cross
+
+    def forward(self, x, xa=None, causal=False):
+        x = x + self.attn(self.attn_ln(x), causal=causal)
+        if self.cross:
+            x = x + self.cross_attn(self.cross_attn_ln(x), xa=xa)
+        return x + self.mlp(self.mlp_ln(x))
+
+
+def _torch_sinusoids(length, channels):
+    import math
+
+    log_timescale = math.log(10000) / (channels // 2 - 1)
+    inv = torch.exp(-log_timescale * torch.arange(channels // 2))
+    t = torch.arange(length)[:, None] * inv[None, :]
+    return torch.cat([torch.sin(t), torch.cos(t)], dim=1)
+
+
+class _TorchWhisper(nn.Module):
+    """Compact torch Whisper (published architecture, OpenAI key layout)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        D, cfgH = cfg.n_audio_state, cfg.n_audio_head
+        enc = nn.Module()
+        enc.conv1 = nn.Conv1d(cfg.n_mels, D, 3, padding=1)
+        enc.conv2 = nn.Conv1d(D, D, 3, stride=2, padding=1)
+        enc.blocks = nn.ModuleList(
+            [_TorchBlock(D, cfgH) for _ in range(cfg.n_audio_layer)]
+        )
+        enc.ln_post = nn.LayerNorm(D)
+        self.encoder = enc
+        dec = nn.Module()
+        dec.token_embedding = nn.Embedding(cfg.n_vocab, cfg.n_text_state)
+        dec.positional_embedding = nn.Parameter(
+            torch.randn(cfg.n_text_ctx, cfg.n_text_state) * 0.02
+        )
+        dec.blocks = nn.ModuleList(
+            [_TorchBlock(cfg.n_text_state, cfg.n_text_head, cross=True)
+             for _ in range(cfg.n_text_layer)]
+        )
+        dec.ln = nn.LayerNorm(cfg.n_text_state)
+        self.decoder = dec
+        self.cfg = cfg
+
+    def encode(self, mel):  # [B, T, n_mels]
+        x = F.gelu(self.encoder.conv1(mel.transpose(1, 2)))
+        x = F.gelu(self.encoder.conv2(x)).transpose(1, 2)
+        x = x + _torch_sinusoids(x.shape[1], x.shape[2])
+        for blk in self.encoder.blocks:
+            x = blk(x)
+        return self.encoder.ln_post(x)
+
+    def decode(self, tokens, audio):  # teacher-forced full-seq logits
+        x = self.decoder.token_embedding(tokens)
+        x = x + self.decoder.positional_embedding[: tokens.shape[1]]
+        for blk in self.decoder.blocks:
+            x = blk(x, xa=audio, causal=True)
+        x = self.decoder.ln(x)
+        return x @ self.decoder.token_embedding.weight.T
+
+
+_ORACLE_CFG = WhisperConfig(
+    n_mels=80, n_vocab=120, n_audio_ctx=50, n_audio_state=32,
+    n_audio_head=4, n_audio_layer=2, n_text_ctx=16, n_text_state=32,
+    n_text_head=4, n_text_layer=2,
+)
+
+
+def test_encoder_matches_torch_oracle(rng):
+    torch.manual_seed(0)
+    model = _TorchWhisper(_ORACLE_CFG).eval()
+    mel = np.asarray(_mel(rng, 2, _ORACLE_CFG), np.float32)
+    with torch.no_grad():
+        ref = model.encode(torch.from_numpy(mel)).numpy()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, whisper_from_state_dict(sd, _ORACLE_CFG))
+    ours = np.asarray(whisper_encode(params, jnp.asarray(mel), _ORACLE_CFG))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_decoder_steps_match_torch_oracle(rng):
+    """The production KV-cached _decoder_step, run position by position,
+    must reproduce the torch oracle's teacher-forced logits."""
+    from cse_tpu.models.whisper import _decoder_step
+
+    cfg = _ORACLE_CFG
+    torch.manual_seed(1)
+    model = _TorchWhisper(cfg).eval()
+    mel = np.asarray(_mel(rng, 2, cfg), np.float32)
+    toks = np.asarray([[5, 17, 99, 3, 42], [7, 7, 1, 0, 100]], np.int32)
+    with torch.no_grad():
+        audio_t = model.encode(torch.from_numpy(mel))
+        ref = model.decode(torch.from_numpy(toks.astype(np.int64)), audio_t).numpy()
+
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, whisper_from_state_dict(sd, cfg))
+    audio = whisper_encode(params, jnp.asarray(mel), cfg)
+    ak, av = [], []
+    for li in range(cfg.n_text_layer):
+        lp = jax.tree.map(lambda a: a[li], params["dec_layers"])
+        ak.append(audio @ lp["cross"]["k_w"])
+        av.append(audio @ lp["cross"]["v_w"] + lp["cross"]["v_b"])
+    audio_kv = {"k": jnp.stack(ak), "v": jnp.stack(av)}
+    kv = {
+        "k": jnp.zeros((cfg.n_text_layer, 2, cfg.n_text_ctx, cfg.n_text_state)),
+        "v": jnp.zeros((cfg.n_text_layer, 2, cfg.n_text_ctx, cfg.n_text_state)),
+    }
+    for pos in range(toks.shape[1]):
+        logits, kv = _decoder_step(
+            params, cfg, jnp.asarray(toks[:, pos]), jnp.asarray(pos), kv, audio_kv
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), ref[:, pos], rtol=1e-4, atol=1e-4
+        )
 
 
 def test_log_mel_range(rng):
