@@ -57,28 +57,38 @@ def mix_audio_3spk(signal, noise1, noise2, snr1, snr2, pad=False):
     return mixed * scale, signal * scale, noise1 * scale, noise2 * scale
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--list", required=True, help="mixture list file")
-    ap.add_argument("--out", required=True, help="output root")
-    ap.add_argument("--num_spk", type=int, default=2, choices=[2, 3])
-    args = ap.parse_args()
+def _resolve(path: str, wav_root: str) -> str:
+    """Released lists carry root-relative entries like ``/32/0_1_d32.wav``
+    (``data/DailyTalk/test_mix.txt``); prefix them with the corpus wav root."""
+    if wav_root:
+        return os.path.join(wav_root, path.lstrip("/"))
+    return path
 
+
+def mix_from_list(list_file: str, out: str, num_spk: int = 2, wav_root: str = "") -> int:
+    """Build a premixed eval tree from a released mixture list file.
+
+    2-spk lines: ``pathA pathB snr``; 3-spk: ``pathA pathB pathC snr1 snr2``
+    (the formats shipped under the reference's ``data/*/{val,test}_mix*.txt``).
+    Returns the number of mixtures written.
+    """
+    # 3-spk dir names follow the reference's gt->noise path substitution
+    # (dataset_train_CSE.py:329-332: gt_3speaker -> noise_{1,2}_3speaker)
     subs = (
         ["mixed", "gt", "noise"]
-        if args.num_spk == 2
-        else ["mixed_3speaker", "gt_3speaker", "noise_1", "noise_2"]
+        if num_spk == 2
+        else ["mixed_3speaker", "gt_3speaker", "noise_1_3speaker", "noise_2_3speaker"]
     )
     for s in subs:
-        os.makedirs(os.path.join(args.out, s), exist_ok=True)
+        os.makedirs(os.path.join(out, s), exist_ok=True)
 
-    with open(args.list) as f:
+    with open(list_file) as f:
         lines = [l.split() for l in f if l.strip()]
     for parts in lines:
-        if args.num_spk == 2:
+        if num_spk == 2:
             pa, pb, snr = parts[0], parts[1], float(parts[2])
-            a, sra = read_wav(pa)
-            b, _ = read_wav(pb)
+            a, sra = read_wav(_resolve(pa, wav_root))
+            b, _ = read_wav(_resolve(pb, wav_root))
             a, b = peak_normalize_np(a), peak_normalize_np(b)
             mixed, gt, noise = mix_audio(a, b, snr, pad=True)
             name = (
@@ -86,26 +96,38 @@ def main():
                 + "-" + os.path.splitext(os.path.basename(pb))[0]
                 + f"-{snr:.4f}"
             )
-            write_wav(os.path.join(args.out, "mixed", name + ".wav"), mixed, sra)
-            write_wav(os.path.join(args.out, "gt", name + ".wav"), gt, sra)
-            write_wav(os.path.join(args.out, "noise", name + ".wav"), noise, sra)
+            write_wav(os.path.join(out, "mixed", name + ".wav"), mixed, sra)
+            write_wav(os.path.join(out, "gt", name + ".wav"), gt, sra)
+            write_wav(os.path.join(out, "noise", name + ".wav"), noise, sra)
         else:
             pa, pb, pc, snr1, snr2 = (
                 parts[0], parts[1], parts[2], float(parts[3]), float(parts[4])
             )
-            a, sra = read_wav(pa)
-            b, _ = read_wav(pb)
-            c, _ = read_wav(pc)
+            a, sra = read_wav(_resolve(pa, wav_root))
+            b, _ = read_wav(_resolve(pb, wav_root))
+            c, _ = read_wav(_resolve(pc, wav_root))
             a, b, c = (peak_normalize_np(x) for x in (a, b, c))
             mixed, gt, n1, n2 = mix_audio_3spk(a, b, c, snr1, snr2, pad=True)
             name = "-".join(
                 os.path.splitext(os.path.basename(p))[0] for p in (pa, pb, pc)
             ) + f"-{snr1:.2f}-{snr2:.2f}"
-            write_wav(os.path.join(args.out, "mixed_3speaker", name + ".wav"), mixed, sra)
-            write_wav(os.path.join(args.out, "gt_3speaker", name + ".wav"), gt, sra)
-            write_wav(os.path.join(args.out, "noise_1", name + ".wav"), n1, sra)
-            write_wav(os.path.join(args.out, "noise_2", name + ".wav"), n2, sra)
-    print(f"wrote {len(lines)} mixtures to {args.out}")
+            write_wav(os.path.join(out, "mixed_3speaker", name + ".wav"), mixed, sra)
+            write_wav(os.path.join(out, "gt_3speaker", name + ".wav"), gt, sra)
+            write_wav(os.path.join(out, "noise_1_3speaker", name + ".wav"), n1, sra)
+            write_wav(os.path.join(out, "noise_2_3speaker", name + ".wav"), n2, sra)
+    return len(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--list", required=True, help="mixture list file")
+    ap.add_argument("--out", required=True, help="output root")
+    ap.add_argument("--num_spk", type=int, default=2, choices=[2, 3])
+    ap.add_argument("--wav_root", default="",
+                    help="corpus root prefixed to the list's relative paths")
+    args = ap.parse_args()
+    n = mix_from_list(args.list, args.out, args.num_spk, args.wav_root)
+    print(f"wrote {n} mixtures to {args.out}")
 
 
 if __name__ == "__main__":
