@@ -305,6 +305,11 @@ def train_net(args, variant: str):
                         x = arr[k, :n].astype(np.float32)
                         x = x / max(np.abs(x).max(), 1e-9) * 0.9
                         write_wav(os.path.join(d, name + ".wav"), x, args.sr)
+                        # wandb audio for the first 3 val samples (reference
+                        # train_ContSep.py:706-710)
+                        if dumped < 3:
+                            writer.audio(f"val_audio/{sub}_{dumped}", x,
+                                         args.sr, step, caption=name)
                     dumped += 1
         loader.close()
         val = float(np.mean(np.concatenate(sisnrs))) if sisnrs else 0.0
@@ -405,6 +410,11 @@ def train_net(args, variant: str):
                         x = arr[kk].astype(np.float32)
                         x = x / max(np.abs(x).max(), 1e-9) * 0.9
                         write_wav(os.path.join(d, f"{kk}.wav"), x, args.sr)
+                        # wandb audio for the first 3 train dumps (reference
+                        # train_ContSep.py:540-552)
+                        if kk < 3:
+                            writer.audio(f"train_audio/{sub}_{kk}", x,
+                                         args.sr, step_num)
 
             if step_num % args.eval_step == 0:
                 val = validate(params, fast_validate=True, epoch=epoch, step=step_num)

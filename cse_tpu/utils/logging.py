@@ -33,8 +33,14 @@ class MetricLogger:
             try:
                 import wandb
 
-                self.wandb = wandb.init(project="CSE", name=project,
-                                        dir=checkpoint_dir, config=config or {})
+                # resume the previous run id by globbing the wandb dir
+                # (reference train_ContSep.py:292-297,732-738)
+                run_id = _resumed_wandb_id(checkpoint_dir)
+                self.wandb = wandb.init(
+                    project="CSE", name=project, dir=checkpoint_dir,
+                    config=config or {},
+                    **({"id": run_id, "resume": "allow"} if run_id else {}),
+                )
             except Exception:
                 self.wandb = None
 
@@ -53,9 +59,35 @@ class MetricLogger:
             except (TypeError, ValueError):
                 pass
 
+    def audio(self, tag: str, wav, sr: int, step: int, caption: str = ""):
+        """wandb.Audio artifact for generated speech (reference
+        train_ContSep.py:540-552,706-710). No-op without wandb."""
+        if not self.enabled or self.wandb is None:
+            return
+        try:
+            import wandb
+
+            self.wandb.log({tag: wandb.Audio(wav, sample_rate=sr,
+                                             caption=caption)}, step=step)
+        except Exception:
+            pass
+
     def close(self):
         if self.tb is not None:
             self.tb.flush()
+
+
+def _resumed_wandb_id(checkpoint_dir: str) -> str | None:
+    """Parse the run id out of ``wandb/latest-run/run-*.wandb``."""
+    import glob
+
+    hits = glob.glob(
+        os.path.join(checkpoint_dir or ".", "wandb", "latest-run", "run-*.wandb")
+    )
+    if not hits:
+        return None
+    base = os.path.basename(hits[0])
+    return base[len("run-"):-len(".wandb")] or None
 
 
 class IterTimer:

@@ -239,6 +239,22 @@ def test_ce_flag_is_real_bool():
         parse_train_args(["--ce", "maybe"])
 
 
+def test_wandb_run_id_resume_glob(tmp_path):
+    """Reference resumes the wandb run id by globbing
+    wandb/latest-run/run-*.wandb (train_ContSep.py:292-297,732-738)."""
+    from cse_tpu.utils.logging import MetricLogger, _resumed_wandb_id
+
+    d = tmp_path / "wandb" / "latest-run"
+    d.mkdir(parents=True)
+    (d / "run-abc123xy.wandb").touch()
+    assert _resumed_wandb_id(str(tmp_path)) == "abc123xy"
+    assert _resumed_wandb_id(str(tmp_path / "absent")) is None
+    # audio logging is a silent no-op without a wandb run
+    ml = MetricLogger(str(tmp_path), None, enabled=True)
+    ml.audio("t", np.zeros(16), 8000, 1)
+    ml.close()
+
+
 def test_restore_torch_checkpoint_routing(tmp_path):
     import torch
 
