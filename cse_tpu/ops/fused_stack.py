@@ -53,27 +53,31 @@ def _stack_kernel(
             jnp.dot(h.astype(compute_dtype), qkv_w[li], preferred_element_type=jnp.float32)
             + qkv_b[li].astype(jnp.float32)
         )  # [Lp, 3D]
+        # stage-split over heads (scores -> softmaxes -> PVs) so the scheduler
+        # overlaps VPU softmax with MXU matmuls across heads; the 1/sqrt(hd)
+        # scale folds into q and the softmax division past PV (both [Lp, hd])
+        ss = []
+        for hh in range(nhead):
+            q = qkv[:, hh * hd : (hh + 1) * hd] * scale
+            k = qkv[:, D + hh * hd : D + (hh + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ss.append(jnp.where(kmask, s, -1e30))
+        ps, zs = [], []
+        for hh in range(nhead):
+            m = jnp.max(ss[hh], axis=1, keepdims=True)
+            p = jnp.exp(ss[hh] - m)
+            ps.append(p)
+            zs.append(jnp.sum(p, axis=1, keepdims=True))
         attn_cols = []
         for hh in range(nhead):
-            q = qkv[:, hh * hd : (hh + 1) * hd]
-            k = qkv[:, D + hh * hd : D + (hh + 1) * hd]
             v = qkv[:, 2 * D + hh * hd : 2 * D + (hh + 1) * hd]
-            s = (
-                jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-                )
-                * scale
+            pv = jnp.dot(
+                ps[hh].astype(compute_dtype), v.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
             )
-            s = jnp.where(kmask, s, -1e30)
-            m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=1, keepdims=True)
-            attn_cols.append(
-                jnp.dot(
-                    p.astype(compute_dtype), v.astype(compute_dtype),
-                    preferred_element_type=jnp.float32,
-                )
-            )
+            attn_cols.append(pv / zs[hh])
         attn = jnp.concatenate(attn_cols, axis=-1)  # [Lp, D]
         x = x + (
             jnp.dot(attn.astype(compute_dtype), out_w[li], preferred_element_type=jnp.float32)

@@ -8,6 +8,13 @@ constant-index output blocks. HBM traffic per chunk is O(L*D) activations
 instead of per-layer round-trips of activations and [L, L] attention probs —
 the dominant cost of the XLA+remat path (PERF.md).
 
+Grid blocking: each grid step processes ``gb`` sequences at once. The
+position-wise matmuls (QKV / out-proj / FFN) and every weight-gradient
+contraction run on [gb*Lp, D] operands instead of [Lp, D] — 4-8x larger M/K
+dims keep the MXU pipeline full — and the grid shrinks by gb, amortizing
+per-step DMA/control overhead. Only the attention score/PV matmuls stay
+per-sequence (they are ~14% of layer FLOPs).
+
 Layer math matches cse_tpu.models.sepformer.TransformerEncoderLayer exactly:
   x += Wo @ MHSA(LN1(x));  x += W2 @ relu(W1 @ LN2(x))
 with fp32 residual stream/LN/softmax and bf16 matmuls.
@@ -24,6 +31,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LN_EPS = 1e-6
+
+# Sequences per grid step. Measured on v5e (scripts/bench_fused.py): blocking
+# does NOT help — gb=1 is fastest at every (chunk, gb) point tried; Mosaic
+# already overlaps the per-sequence DMA with compute at gb=1, and wider blocks
+# only add reshape/copy traffic and VMEM pressure. Kept as tunables because
+# the sweep is cheap to re-run on other TPU generations.
+FWD_GB = 1
+BWD_GB = 1
 
 
 def _interpret() -> bool:
@@ -49,36 +64,55 @@ def _ln_bwd(dy, xhat, inv, scale):
     return dx, dscale, dbias
 
 
-def _attn_heads_fwd(qkv, nhead, D, kmask, cd):
-    """qkv [Lp, 3D] fp32 -> (attn [Lp, D] fp32, per-head probs list)."""
+def _attn_block_fwd(qkv, nhead, D, gb, Lp, kmask, cd, keep_probs=True):
+    """qkv [gb*Lp, 3D] fp32 -> (attn [gb*Lp, D] fp32, probs[item][head]).
+
+    Stage-split over heads (all scores -> all softmaxes -> all PVs) so the
+    scheduler can overlap head h's VPU softmax with head h+1's MXU matmul
+    instead of serializing MXU->VPU->MXU per head. The 1/sqrt(hd) scale is
+    folded into q ([Lp, hd] multiply, not [Lp, Lp]); with ``keep_probs=False``
+    (pure forward — probs not needed for a backward) the softmax division
+    moves past PV onto the [Lp, hd] output.
+    """
     hd = D // nhead
     scale = 1.0 / math.sqrt(hd)
-    cols, probs = [], []
-    for h in range(nhead):
-        q = qkv[:, h * hd : (h + 1) * hd]
-        k = qkv[:, D + h * hd : D + (h + 1) * hd]
-        v = qkv[:, 2 * D + h * hd : 2 * D + (h + 1) * hd]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        s = jnp.where(kmask, s, -1e30)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        probs.append(p)
-        cols.append(
-            jnp.dot(p.astype(cd), v.astype(cd), preferred_element_type=jnp.float32)
-        )
-    return jnp.concatenate(cols, axis=-1), probs
+    rows, probs = [], []
+    for i in range(gb):
+        r0 = i * Lp
+        ss = []
+        for h in range(nhead):
+            q = qkv[r0 : r0 + Lp, h * hd : (h + 1) * hd] * scale
+            k = qkv[r0 : r0 + Lp, D + h * hd : D + (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ss.append(jnp.where(kmask, s, -1e30))
+        ps, zs = [], []
+        for h in range(nhead):
+            m = jnp.max(ss[h], axis=1, keepdims=True)
+            p = jnp.exp(ss[h] - m)
+            z = jnp.sum(p, axis=1, keepdims=True)
+            if keep_probs:
+                p = p / z
+            ps.append(p)
+            zs.append(z)
+        cols = []
+        for h in range(nhead):
+            v = qkv[r0 : r0 + Lp, 2 * D + h * hd : 2 * D + (h + 1) * hd]
+            pv = jnp.dot(ps[h].astype(cd), v.astype(cd), preferred_element_type=jnp.float32)
+            cols.append(pv if keep_probs else pv / zs[h])
+        probs.append(ps)
+        rows.append(jnp.concatenate(cols, axis=-1))
+    return jnp.concatenate(rows, axis=0), probs
 
 
-def _layer_fwd(x, w, li, nhead, D, kmask, cd):
-    """One pre-LN layer forward. Returns (x_out, saved internals)."""
+def _layer_fwd(x, w, li, nhead, D, gb, Lp, kmask, cd, keep_probs=True):
+    """One pre-LN layer forward on [gb*Lp, D]. Returns (x_out, internals)."""
     h1, xhat1, inv1 = _ln_fwd(x, w["ln1_s"][li].astype(jnp.float32),
                               w["ln1_b"][li].astype(jnp.float32))
     qkv = jnp.dot(h1.astype(cd), w["qkv_w"][li], preferred_element_type=jnp.float32)
     qkv = qkv + w["qkv_b"][li].astype(jnp.float32)
-    attn, probs = _attn_heads_fwd(qkv, nhead, D, kmask, cd)
+    attn, probs = _attn_block_fwd(qkv, nhead, D, gb, Lp, kmask, cd, keep_probs)
     ao = jnp.dot(attn.astype(cd), w["out_w"][li], preferred_element_type=jnp.float32)
     x1 = x + ao + w["out_b"][li].astype(jnp.float32)
     h2, xhat2, inv2 = _ln_fwd(x1, w["ln2_s"][li].astype(jnp.float32),
@@ -100,19 +134,19 @@ W_NAMES = ("qkv_w", "qkv_b", "out_w", "out_b", "ln1_s", "ln1_b",
 def _fwd_kernel(x_ref, *refs, n_layers, nhead, L, cd):
     w = dict(zip(W_NAMES, refs[:-1]))
     o_ref = refs[-1]
-    Lp, D = x_ref.shape[1], x_ref.shape[2]
+    gb, Lp, D = x_ref.shape
     kmask = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1) < L
-    x = x_ref[0].astype(jnp.float32)
+    x = x_ref[...].astype(jnp.float32).reshape(gb * Lp, D)
     for li in range(n_layers):
-        x, _ = _layer_fwd(x, w, li, nhead, D, kmask, cd)
-    o_ref[0] = x.astype(o_ref.dtype)
+        x, _ = _layer_fwd(x, w, li, nhead, D, gb, Lp, kmask, cd, keep_probs=False)
+    o_ref[...] = x.reshape(gb, Lp, D).astype(o_ref.dtype)
 
 
 def _bwd_kernel(x_ref, g_ref, *refs, n_layers, nhead, L, cd):
     w = dict(zip(W_NAMES, refs[: len(W_NAMES)]))
     dx_ref = refs[len(W_NAMES)]
     dw_refs = dict(zip(W_NAMES, refs[len(W_NAMES) + 1 :]))
-    Lp, D = x_ref.shape[1], x_ref.shape[2]
+    gb, Lp, D = x_ref.shape
     hd = D // nhead
     scale = 1.0 / math.sqrt(hd)
     kmask = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1) < L
@@ -123,13 +157,13 @@ def _bwd_kernel(x_ref, g_ref, *refs, n_layers, nhead, L, cd):
             r[...] = jnp.zeros(r.shape, r.dtype)
 
     # replay forward, keeping each layer's internals in VMEM (n_layers small)
-    x = x_ref[0].astype(jnp.float32)
+    x = x_ref[...].astype(jnp.float32).reshape(gb * Lp, D)
     saves = []
     for li in range(n_layers):
-        x, saved = _layer_fwd(x, w, li, nhead, D, kmask, cd)
+        x, saved = _layer_fwd(x, w, li, nhead, D, gb, Lp, kmask, cd)
         saves.append(saved)
 
-    g = g_ref[0].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32).reshape(gb * Lp, D)
     for li in reversed(range(n_layers)):
         s = saves[li]
         # ---- FFN bwd: x2 = x1 + f2(relu(f1(h2))) + b2
@@ -167,31 +201,46 @@ def _bwd_kernel(x_ref, g_ref, *refs, n_layers, nhead, L, cd):
         dattn = jnp.dot(
             g1.astype(cd), w["out_w"][li].T, preferred_element_type=jnp.float32
         )
-        dqs, dks, dvs = [], [], []
-        for h in range(nhead):
-            q = s["qkv"][:, h * hd : (h + 1) * hd]
-            k = s["qkv"][:, D + h * hd : D + (h + 1) * hd]
-            v = s["qkv"][:, 2 * D + h * hd : 2 * D + (h + 1) * hd]
-            p = s["probs"][h]
-            do = dattn[:, h * hd : (h + 1) * hd]
-            dvs.append(jax.lax.dot_general(
-                p.astype(cd), do.astype(cd), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ))
-            dp = jax.lax.dot_general(
-                do.astype(cd), v.astype(cd), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            delta = jnp.sum(dp * p, axis=1, keepdims=True)
-            ds = p * (dp - delta) * scale
-            dqs.append(
-                jnp.dot(ds.astype(cd), k.astype(cd), preferred_element_type=jnp.float32)
-            )
-            dks.append(jax.lax.dot_general(
-                ds.astype(cd), q.astype(cd), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ))
-        dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)
+        # stage-split over heads (like _attn_block_fwd): MXU batches (dv, dp)
+        # -> VPU batch (softmax-grad ds) -> MXU batches (dq, dk), letting the
+        # scheduler overlap vector and matrix work across heads
+        item_rows = []
+        for i in range(gb):
+            r0 = i * Lp
+            dps, dvs = [], []
+            for h in range(nhead):
+                v = s["qkv"][r0 : r0 + Lp, 2 * D + h * hd : 2 * D + (h + 1) * hd]
+                p = s["probs"][i][h]
+                do = dattn[r0 : r0 + Lp, h * hd : (h + 1) * hd]
+                dvs.append(jax.lax.dot_general(
+                    p.astype(cd), do.astype(cd), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
+                dps.append(jax.lax.dot_general(
+                    do.astype(cd), v.astype(cd), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
+            # ds here is the grad of the UNSCALED scores s' = q@k^T; the
+            # 1/sqrt(hd) factor lands on the [Lp, hd] outputs instead of the
+            # [Lp, Lp] ds (one VPU pass over 8x fewer elements)
+            dss = []
+            for h in range(nhead):
+                p = s["probs"][i][h]
+                delta = jnp.sum(dps[h] * p, axis=1, keepdims=True)
+                dss.append(p * (dps[h] - delta))
+            dqs, dks = [], []
+            for h in range(nhead):
+                q = s["qkv"][r0 : r0 + Lp, h * hd : (h + 1) * hd]
+                k = s["qkv"][r0 : r0 + Lp, D + h * hd : D + (h + 1) * hd]
+                dqs.append(scale * jnp.dot(
+                    dss[h].astype(cd), k.astype(cd), preferred_element_type=jnp.float32
+                ))
+                dks.append(jax.lax.dot_general(
+                    dss[h].astype(cd), (scale * q).astype(cd), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
+            item_rows.append(jnp.concatenate(dqs + dks + dvs, axis=-1))
+        dqkv = jnp.concatenate(item_rows, axis=0)  # [gb*Lp, 3D]
         dw_refs["qkv_b"][li] += jnp.sum(dqkv, axis=0)
         dw_refs["qkv_w"][li] += jax.lax.dot_general(
             s["h1"].astype(cd), dqkv.astype(cd), (((0,), (0,)), ((), ())),
@@ -207,7 +256,7 @@ def _bwd_kernel(x_ref, g_ref, *refs, n_layers, nhead, L, cd):
         dw_refs["ln1_b"][li] += dlb1
         g = g1 + dx0_ln  # d x0 -> grad into previous layer
 
-    dx_ref[0] = g.astype(dx_ref.dtype)
+    dx_ref[...] = g.reshape(gb, Lp, D).astype(dx_ref.dtype)
 
 
 def _weight_specs(weights):
@@ -221,36 +270,51 @@ def _weight_specs(weights):
     return specs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def fused_layers(x, weights, n_layers, nhead, L):
-    return _fused_fwd_impl(x, weights, n_layers, nhead, L)
+def _pad_rows(x, gb):
+    """Pad axis 0 of [G, Lp, D] up to a multiple of gb (zeros)."""
+    G = x.shape[0]
+    Gp = ((G + gb - 1) // gb) * gb
+    if Gp != G:
+        x = jnp.pad(x, ((0, Gp - G), (0, 0), (0, 0)))
+    return x, Gp
 
 
-def _fused_fwd_impl(x, weights, n_layers, nhead, L):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_layers(x, weights, n_layers, nhead, L, gb_f=FWD_GB, gb_b=BWD_GB):
+    return _fused_fwd_impl(x, weights, n_layers, nhead, L, gb_f)
+
+
+def _fused_fwd_impl(x, weights, n_layers, nhead, L, gb):
     G, Lp, D = x.shape
     cd = weights["qkv_w"].dtype
-    xspec = pl.BlockSpec((1, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    xp, Gp = _pad_rows(x, gb)
+    xspec = pl.BlockSpec((gb, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, n_layers=n_layers, nhead=nhead, L=L, cd=cd),
-        grid=(G,),
+        grid=(Gp // gb,),
         in_specs=[xspec] + _weight_specs(weights),
         out_specs=xspec,
-        out_shape=jax.ShapeDtypeStruct((G, Lp, D), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Gp, Lp, D), x.dtype),
         interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
-    )(x, *[weights[k] for k in W_NAMES])
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
+    )(xp, *[weights[k] for k in W_NAMES])
+    return out[:G]
 
 
-def _fused_fwd(x, weights, n_layers, nhead, L):
-    y = _fused_fwd_impl(x, weights, n_layers, nhead, L)
+def _fused_fwd(x, weights, n_layers, nhead, L, gb_f, gb_b):
+    y = _fused_fwd_impl(x, weights, n_layers, nhead, L, gb_f)
     return y, (x, weights)
 
 
-def _fused_bwd(n_layers, nhead, L, res, gy):
+def _fused_bwd(n_layers, nhead, L, gb_f, gb_b, res, gy):
     x, weights = res
     G, Lp, D = x.shape
     cd = weights["qkv_w"].dtype
-    xspec = pl.BlockSpec((1, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    gb = gb_b
+    # zero-padded rows carry zero cotangents, so their dw contributions vanish
+    xp, Gp = _pad_rows(x, gb)
+    gp, _ = _pad_rows(gy, gb)
+    xspec = pl.BlockSpec((gb, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     dw_shapes = tuple(
         jax.ShapeDtypeStruct(weights[k].shape, jnp.float32) for k in W_NAMES
@@ -264,14 +328,14 @@ def _fused_bwd(n_layers, nhead, L, res, gy):
         )
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, n_layers=n_layers, nhead=nhead, L=L, cd=cd),
-        grid=(G,),
+        grid=(Gp // gb,),
         in_specs=[xspec, xspec] + _weight_specs(weights),
         out_specs=tuple([xspec] + dw_specs),
-        out_shape=tuple([jax.ShapeDtypeStruct((G, Lp, D), x.dtype)] + list(dw_shapes)),
+        out_shape=tuple([jax.ShapeDtypeStruct((Gp, Lp, D), x.dtype)] + list(dw_shapes)),
         interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
-    )(x, gy, *[weights[k] for k in W_NAMES])
-    dx = outs[0]
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
+    )(xp, gp, *[weights[k] for k in W_NAMES])
+    dx = outs[0][:G]
     dw = {k: outs[1 + i].astype(weights[k].dtype) for i, k in enumerate(W_NAMES)}
     return dx, dw
 
@@ -285,6 +349,8 @@ def fused_stack_train(
     nhead: int = 8,
     chunk: int = 2,
     compute_dtype=jnp.bfloat16,
+    gb_f: int = FWD_GB,
+    gb_b: int = BWD_GB,
 ) -> jnp.ndarray:
     """Differentiable TransformerStack forward using fused fwd+bwd kernels.
 
@@ -324,7 +390,7 @@ def fused_stack_train(
     for c0 in range(0, n_layers, chunk):
         n = min(chunk, n_layers - c0)
         wc = {k: jax.lax.dynamic_slice_in_dim(w[k], c0, n, 0) for k in W_NAMES}
-        y = fused_layers(y, wc, n, nhead, L)
+        y = fused_layers(y, wc, n, nhead, L, gb_f, gb_b)
     y = y[:, :L].astype(jnp.float32)
     # final stack LayerNorm (fp32, eps 1e-6)
     mu = y.mean(-1, keepdims=True)

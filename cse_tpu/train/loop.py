@@ -83,7 +83,9 @@ def build_model(args, variant: str) -> tuple[Sepformer, TrainConfig]:
         tiny = dict(
             enc_channels=32, enc_kernel=8, enc_stride=4, d_model=32, nhead=4,
             d_ffn=64, num_tf_layers=2, num_dp_layers=1, chunk_size=50,
-            pe_max_len=512,
+            # stride 4 at 16 s/8 kHz gives ~1300 inter-chunk positions;
+            # cover them (the full-size model's 2500 covers its own worst case)
+            pe_max_len=2048,
         )
     cfg = SepformerConfig(
         num_spks=args.num_max_mix,
@@ -353,24 +355,43 @@ def train_net(args, variant: str):
             break
         print(f"Epoch [{epoch}/{args.epochs}]")
         timer = IterTimer(args.log_every)
-        for i, host in enumerate(prefetch(train_loader.batches(epoch))):
+
+        def _prepare(host):
+            # dispatches on-device synthesis + host->device transfers; called
+            # one batch AHEAD of the blocking metric sync below so the next
+            # batch's synthesis/copies overlap the in-flight train step
+            # (double-buffered puts, PERF.md "input pipeline overlap")
+            b = train_loader.device_batch(host)
+            full = b
+            b = {k: v for k, v in b.items()
+                 if k not in ("gt16k", "gt16k_len", "sp_len")}
+            if mesh is not None:
+                b = shard_batch(b, mesh)
+            return b, full
+
+        host_iter = iter(prefetch(train_loader.batches(epoch)))
+        nxt = next(host_iter, None)
+        pending = _prepare(nxt) if nxt is not None else None
+        i = -1
+        while pending is not None:
+            i += 1
+            batch, full_batch = pending
             if i % args.log_every == 0:
                 iter_time = timer.lap()
                 print(
                     "******** Training [%d / %d] : %d / %d, Iter Time : %.3f sec ********"
                     % (epoch, args.epochs, (i + 1) * B, len(files), iter_time)
                 )
-            batch = train_loader.device_batch(host)
             if variant == "hcontext":
-                batch["se"] = _enrollment_embeddings(batch, step_num)
-            batch = {k: v for k, v in batch.items() if k not in ("gt16k", "gt16k_len", "sp_len")}
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
+                batch["se"] = _enrollment_embeddings(full_batch, step_num)
             with trace_if(profile_dir, step_num):
                 params, opt_state, metrics = train_step(
                     params, opt_state, batch,
                     jax.random.fold_in(jax.random.key(args.seed), step_num * 1000 + i),
                 )
+            # prefetch-dispatch batch i+1 while step i runs on device
+            nxt = next(host_iter, None)
+            pending = _prepare(nxt) if nxt is not None else None
             # step = optimizer updates, not microbatches (reference
             # train_ContSep.py:402-421 with --update_frequency)
             if (i + 1) % args.update_frequency != 0:
