@@ -70,9 +70,11 @@ def _attn_block_fwd(qkv, nhead, D, gb, Lp, kmask, cd, keep_probs=True):
     Stage-split over heads (all scores -> all softmaxes -> all PVs) so the
     scheduler can overlap head h's VPU softmax with head h+1's MXU matmul
     instead of serializing MXU->VPU->MXU per head. The 1/sqrt(hd) scale is
-    folded into q ([Lp, hd] multiply, not [Lp, Lp]); with ``keep_probs=False``
-    (pure forward — probs not needed for a backward) the softmax division
-    moves past PV onto the [Lp, hd] output.
+    folded into q ([Lp, hd] multiply, not [Lp, Lp]), and the softmax division
+    moves past PV onto the [Lp, hd] output — probs are kept UNNORMALIZED.
+    With ``keep_probs=True`` each probs entry is ``(p_unnorm, invz)``; the
+    backward folds ``invz`` into row-scaled ops instead of ever materializing
+    the [Lp, Lp] normalized matrix.
     """
     hd = D // nhead
     scale = 1.0 / math.sqrt(hd)
@@ -87,21 +89,18 @@ def _attn_block_fwd(qkv, nhead, D, gb, Lp, kmask, cd, keep_probs=True):
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
             ss.append(jnp.where(kmask, s, -1e30))
-        ps, zs = [], []
+        ps, invzs = [], []
         for h in range(nhead):
             m = jnp.max(ss[h], axis=1, keepdims=True)
             p = jnp.exp(ss[h] - m)
-            z = jnp.sum(p, axis=1, keepdims=True)
-            if keep_probs:
-                p = p / z
+            invzs.append(1.0 / jnp.sum(p, axis=1, keepdims=True))
             ps.append(p)
-            zs.append(z)
         cols = []
         for h in range(nhead):
             v = qkv[r0 : r0 + Lp, 2 * D + h * hd : 2 * D + (h + 1) * hd]
             pv = jnp.dot(ps[h].astype(cd), v.astype(cd), preferred_element_type=jnp.float32)
-            cols.append(pv if keep_probs else pv / zs[h])
-        probs.append(ps)
+            cols.append(pv * invzs[h])
+        probs.append(list(zip(ps, invzs)) if keep_probs else None)
         rows.append(jnp.concatenate(cols, axis=-1))
     return jnp.concatenate(rows, axis=0), probs
 
@@ -210,10 +209,12 @@ def _bwd_kernel(x_ref, g_ref, *refs, n_layers, nhead, L, cd):
             dps, dvs = [], []
             for h in range(nhead):
                 v = s["qkv"][r0 : r0 + Lp, 2 * D + h * hd : 2 * D + (h + 1) * hd]
-                p = s["probs"][i][h]
+                p, invz = s["probs"][i][h]
                 do = dattn[r0 : r0 + Lp, h * hd : (h + 1) * hd]
+                # p is unnormalized; 1/z folds onto the [Lp, hd] do instead of
+                # a [Lp, Lp] division (p_norm^T @ do == p^T @ (do * invz))
                 dvs.append(jax.lax.dot_general(
-                    p.astype(cd), do.astype(cd), (((0,), (0,)), ((), ())),
+                    p.astype(cd), (do * invz).astype(cd), (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ))
                 dps.append(jax.lax.dot_general(
@@ -222,12 +223,13 @@ def _bwd_kernel(x_ref, g_ref, *refs, n_layers, nhead, L, cd):
                 ))
             # ds here is the grad of the UNSCALED scores s' = q@k^T; the
             # 1/sqrt(hd) factor lands on the [Lp, hd] outputs instead of the
-            # [Lp, Lp] ds (one VPU pass over 8x fewer elements)
+            # [Lp, Lp] ds, and the softmax 1/z rides the same fused
+            # elementwise pass (ds = p*(dp - delta)*invz, one extra multiply)
             dss = []
             for h in range(nhead):
-                p = s["probs"][i][h]
-                delta = jnp.sum(dps[h] * p, axis=1, keepdims=True)
-                dss.append(p * (dps[h] - delta))
+                p, invz = s["probs"][i][h]
+                delta = jnp.sum(dps[h] * p, axis=1, keepdims=True) * invz
+                dss.append(p * (dps[h] - delta) * invz)
             dqs, dks = [], []
             for h in range(nhead):
                 q = s["qkv"][r0 : r0 + Lp, h * hd : (h + 1) * hd]
