@@ -67,7 +67,6 @@ def main():
     pcfg = PipelineConfig(
         max_sp_len=args.max_sp_len, sr=args.sr, num_max_mix=args.num_max_mix,
         context_length=args.context_length, max_ctx_tokens=args.max_ctx_tokens,
-        one_sec=args.one_sec,
     )
     loader = EvalLoader(
         paths, args.test_dataset, "test", pcfg, tokenizer, args.batch_size,

@@ -1,0 +1,80 @@
+"""End-to-end eval CLIs over the synthetic corpus (reference test.py /
+test_HContExt.py / test_cascaded.py equivalents run as CI integration tests
+— SURVEY.md §4's "evaluation scripts as integration tests" turned into
+actual tests). Guards the CLI wiring (flag plumbing, loaders, result-file
+writing) that unit tests of the underlying pieces don't touch."""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(module_name, argv, monkeypatch):
+    """Load the repo-root CLI by path (tests/test_cascaded.py shadows the
+    module name on sys.path) and run its main() with patched argv."""
+    monkeypatch.setattr(sys, "argv", [module_name + ".py"] + argv)
+    spec = importlib.util.spec_from_file_location(
+        "cli_" + module_name, os.path.join(REPO, module_name + ".py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.main()
+
+
+COMMON = [
+    "--synthetic_smoke", "--platform", "cpu", "--mode", "test",
+    "--max_sp_len", "2", "--max_ctx_tokens", "16", "--workers", "2",
+]
+
+
+def test_eval_cli_contexct(tmp_path, monkeypatch):
+    res = _run_cli(
+        "test",
+        COMMON + ["--test_model", "ContExt", "--batch_size", "2",
+                  "--save_dir", str(tmp_path)],
+        monkeypatch,
+    )
+    assert "si_snr" in res
+    out = tmp_path / "random_init" / "2_speaker_0_ctx"
+    assert (out / "test_results_dailytalk.txt").exists()
+    assert (out / "acc_dailytalk.txt").exists()
+
+
+def test_eval_cli_contsep(tmp_path, monkeypatch):
+    res = _run_cli(
+        "test",
+        COMMON + ["--test_model", "ContSep", "--batch_size", "2",
+                  "--save_dir", str(tmp_path)],
+        monkeypatch,
+    )
+    assert "si_snr" in res
+    out = tmp_path / "random_init" / "2_speaker_0_ctx"
+    assert (out / "test_results_dailytalk.txt").exists()
+
+
+@pytest.mark.parametrize("cue", ["joint", "voice"])
+def test_eval_cli_hcontext(tmp_path, monkeypatch, cue):
+    res = _run_cli(
+        "test_HContExt",
+        COMMON + ["--batch_size", "2", "--cue", cue,
+                  "--save_dir", str(tmp_path)],
+        monkeypatch,
+    )
+    assert "si_snr" in res
+    out = tmp_path / "random_init" / f"2_speaker_0_ctx_{cue}"
+    assert (out / "test_results_dailytalk.txt").exists()
+
+
+def test_eval_cli_cascaded(tmp_path, monkeypatch):
+    res = _run_cli(
+        "test_cascaded",
+        COMMON + ["--batch_size", "1", "--num_test_mix", "2",
+                  "--save_dir", str(tmp_path)],
+        monkeypatch,
+    )
+    assert res is None or "si_snr" in res
+    hits = list(tmp_path.rglob("test_results_dailytalk.txt"))
+    assert hits, "cascaded eval wrote no result file"
