@@ -56,12 +56,13 @@ def distributed_init_if_needed():
     On single-host (including the CPU test mesh) this is a no-op; on a
     multi-host TPU slice, coordinator discovery comes from the TPU runtime.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
-    try:
-        import os
+    import os
 
-        if "COORDINATOR_ADDRESS" in os.environ:
-            jax.distributed.initialize()
-    except Exception:
-        pass
+    # NB: must run before anything touches a jax backend (device_count /
+    # process_count initialize it, after which distributed init is a no-op)
+    if "COORDINATOR_ADDRESS" not in os.environ:
+        return
+    try:
+        jax.distributed.initialize()
+    except RuntimeError:
+        pass  # already initialized (second call in the same process)

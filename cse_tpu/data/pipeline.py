@@ -478,7 +478,11 @@ class EvalLoader:
                 os.path.splitext(os.path.basename(self.mix_paths[i]))[0] for i in rows
             ]
             ids, mask = encode_batch(self.tok, ctxs, cfg.max_ctx_tokens)
+            gt16k = out["gt"].copy()  # pre-resample copy: enrollment audio
+            gt16k_len = out["sp_len"].copy()  # stays at 16 kHz (ECAPA rate)
             batch = dict(resample_eval_batch(cfg.sr, {k: jnp.asarray(v) for k, v in out.items()}))
+            batch["gt16k"] = jnp.asarray(gt16k)
+            batch["gt16k_len"] = jnp.asarray(gt16k_len)
             batch["context_ids"] = jnp.asarray(ids)
             batch["context_mask"] = jnp.asarray(mask)
             batch["names"] = names
@@ -491,11 +495,14 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     """Background-thread prefetch so host decode overlaps device compute."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     END = object()
+    err: list[BaseException] = []
 
     def worker():
         try:
             for item in iterator:
                 q.put(item)
+        except BaseException as e:  # surface loader failures to the consumer
+            err.append(e)
         finally:
             q.put(END)
 
@@ -504,5 +511,7 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     while True:
         item = q.get()
         if item is END:
+            if err:
+                raise err[0]
             break
         yield item

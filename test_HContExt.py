@@ -88,10 +88,11 @@ def main():
                 if p and os.path.exists(p):
                     wav16, _ = read_wav(p)
             if wav16 is None:
-                # 1-second crop of the gt (spokenwoz / --one_sec rule)
-                gt = np.asarray(batch["gt"][k])
-                n = int(batch["sp_len"][k])
-                seg = 16000 if args.sr == 16000 else args.sr
+                # 1-second crop of the 16 kHz gt (spokenwoz / --one_sec rule;
+                # ECAPA consumes 16 kHz, reference dataset :375-391)
+                gt = np.asarray(batch["gt16k"][k])
+                n = int(batch["gt16k_len"][k])
+                seg = 16000
                 st = int(rng.integers(0, max(n - seg, 1)))
                 wav16 = gt[st : st + seg]
             enroll.append(wav16[: 5 * 16000])

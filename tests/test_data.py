@@ -155,3 +155,33 @@ def test_eval_loader(corpus):
     n = int(b0["sp_len"][0])
     corr = np.corrcoef(m[:n], g[:n])[0, 1]
     assert corr > 0.3, corr
+
+
+def test_prefetch_propagates_worker_errors():
+    """A decode failure inside the prefetch thread must raise in the consumer,
+    not silently end the epoch."""
+    from cse_tpu.data.pipeline import prefetch
+
+    def bad_iter():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    it = prefetch(bad_iter())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(it)
+
+
+def test_eval_loader_carries_16k_gt(corpus):
+    """Eval batches keep a 16 kHz gt copy for ECAPA enrollment (the model-rate
+    gt is 8 kHz; the speaker encoder consumes 16 kHz, reference :375-391)."""
+    paths = ds.CorpusPaths(dailytalk=corpus["dailytalk_data_path"])
+    cfg = PipelineConfig(max_sp_len=4, max_ctx_tokens=64)
+    loader = EvalLoader(
+        paths, "dailytalk", "test", cfg, ByteTokenizer(), batch_size=2,
+        num_workers=2,
+    )
+    b0 = next(iter(loader.batches(limit_batches=1)))
+    assert b0["gt16k"].shape[1] == 2 * b0["gt"].shape[1]
+    # sp_len is ceil-scaled to the model rate, so allow odd-length slack
+    assert abs(int(b0["gt16k_len"][0]) - 2 * int(b0["sp_len"][0])) <= 1
