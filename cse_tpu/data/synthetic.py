@@ -42,6 +42,13 @@ def _sentence(rng: random.Random, n_words: int = 6) -> str:
     return " ".join(rng.choice(_WORDS) for _ in range(n_words))
 
 
+_CORPUS_DIRS = {
+    "dailytalk": "DailyTalk_processed_16k",
+    "spokenwoz": "Spokenwoz_preprocessed",
+    "tedlium": "TEDLIUM_release-3_CSF",
+}
+
+
 def make_synthetic_corpus(
     root: str,
     n_dialogs: int = 4,
@@ -50,31 +57,50 @@ def make_synthetic_corpus(
     seconds: tuple[float, float] = (1.0, 3.0),
     seed: int = 0,
     num_test_mix: int = 2,
+    corpus: str = "dailytalk",
 ) -> dict:
-    """Create the corpus; returns paths dict for CorpusPaths/flags."""
+    """Create the corpus; returns paths dict for CorpusPaths/flags.
+
+    ``corpus`` selects the on-disk layout convention: DailyTalk (dialog dirs
+    listed in ``train_dialog.txt``), SpokenWoz (directory scan of
+    ``train/{dialog}/``, >=10-turn eval contexts), or TEDLIUM (talk dirs,
+    ``{spk}-...`` wav names, no-Speaker-prefix contexts) — matching what
+    ``cse_tpu.data.datasets`` expects of each (reference
+    ``dataset_train_CSE.py:118-162``).
+    """
+    assert corpus in _CORPUS_DIRS, corpus
     rng = np.random.default_rng(seed)
     prng = random.Random(seed)
-    data_root = os.path.join(root, "DailyTalk_processed_16k")
+    data_root = os.path.join(root, _CORPUS_DIRS[corpus])
     lists_root = os.path.join(root, "data")
     os.makedirs(os.path.join(lists_root, "DailyTalk"), exist_ok=True)
+    # test-set context filter: >=5 lines (dailytalk) / >=10 (others)
+    ctx_lines = 6 if corpus == "dailytalk" else 11
 
     dialog_names = []
     all_train = []
     for d in range(n_dialogs):
-        ddir = os.path.join(data_root, "train", str(d))
+        dname = str(d) if corpus != "tedlium" else f"Talk{d}"
+        ddir = os.path.join(data_root, "train", dname)
         os.makedirs(ddir, exist_ok=True)
-        dialog_names.append(str(d))
+        dialog_names.append(dname)
         history: list[str] = []
         for t in range(turns_per_dialog):
             wav = _utterance(rng, prng.uniform(*seconds))
-            base = os.path.join(ddir, f"{t}_{t % 2}_d{d}")
+            stem = (
+                f"Spk{d}-{t}" if corpus == "tedlium" else f"{t}_{t % 2}_d{d}"
+            )
+            base = os.path.join(ddir, stem)
             write_wav(base + ".wav", wav, 16000)
             with open(base + ".txt", "w") as f:
                 f.write("\n".join(history))
             history.append(_sentence(prng))
             all_train.append(base + ".wav")
-    with open(os.path.join(lists_root, "DailyTalk", "train_dialog.txt"), "w") as f:
-        f.write("\n".join(dialog_names) + "\n")
+    if corpus == "dailytalk":
+        with open(
+            os.path.join(lists_root, "DailyTalk", "train_dialog.txt"), "w"
+        ) as f:
+            f.write("\n".join(dialog_names) + "\n")
 
     # premixed eval dirs (val + test), built with the reference mixing math;
     # noise dirs follow the reference's gt-path .replace('gt', 'noise_i')
@@ -96,7 +122,9 @@ def make_synthetic_corpus(
             for _ in range(num_test_mix - 1):
                 noi = _utterance(rng, prng.uniform(*seconds))
                 noises.append(np.pad(noi, (0, max(0, n - len(noi))))[:n])
-            name = f"{i}_0_0_d{i}-mix"
+            name = (
+                f"Spk{i}-0-mix" if corpus == "tedlium" else f"{i}_0_0_d{i}-mix"
+            )
             if num_test_mix == 2:
                 snr = prng.uniform(-5, 5)
                 g = np.sqrt(
@@ -135,7 +163,7 @@ def make_synthetic_corpus(
             with open(
                 os.path.join(data_root, mode, mix_name, name + ".txt"), "w"
             ) as f:
-                f.write("\n".join(_sentence(prng) for _ in range(6)))
+                f.write("\n".join(_sentence(prng) for _ in range(ctx_lines)))
 
     # fake DEMAND tree
     demand_root = os.path.join(root, "DEMAND")
@@ -147,7 +175,7 @@ def make_synthetic_corpus(
         )
 
     return {
-        "dailytalk_data_path": data_root,
+        f"{corpus}_data_path": data_root,
         "acoustic_noise_path": demand_root,
         "lists_root": lists_root,
     }

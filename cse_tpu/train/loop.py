@@ -64,9 +64,13 @@ def setup_synthetic(args):
     from cse_tpu.data.synthetic import make_synthetic_corpus
 
     root = tempfile.mkdtemp(prefix="cse_synth_")
-    info = make_synthetic_corpus(root, num_test_mix=args.num_test_mix)
-    args.train_data = "dailytalk"
-    args.dailytalk_data_path = info["dailytalk_data_path"]
+    corpus = args.train_data if args.train_data in (
+        "dailytalk", "spokenwoz", "tedlium") else "dailytalk"
+    info = make_synthetic_corpus(
+        root, num_test_mix=args.num_test_mix, corpus=corpus
+    )
+    args.train_data = corpus
+    setattr(args, f"{corpus}_data_path", info[f"{corpus}_data_path"])
     args.acoustic_noise_path = info["acoustic_noise_path"]
     args.lists_root = info["lists_root"]
     args.llama_path = "__none__"  # force the stub encoder

@@ -185,3 +185,32 @@ def test_eval_loader_carries_16k_gt(corpus):
     assert b0["gt16k"].shape[1] == 2 * b0["gt"].shape[1]
     # sp_len is ceil-scaled to the model rate, so allow odd-length slack
     assert abs(int(b0["gt16k_len"][0]) - 2 * int(b0["sp_len"][0])) <= 1
+
+
+@pytest.mark.parametrize("corpus", ["spokenwoz", "tedlium"])
+def test_cross_corpus_layouts(tmp_path, corpus):
+    """SpokenWoz/TEDLIUM-shaped corpora drive their distinct indexer and
+    context-assembly rules (reference dataset_train_CSE.py:118-162,300-322)."""
+    info = make_synthetic_corpus(
+        str(tmp_path), n_dialogs=2, turns_per_dialog=4, n_eval=3, corpus=corpus
+    )
+    paths = ds.CorpusPaths(**{corpus: info[f"{corpus}_data_path"]})
+    files = ds.build_train_list(paths, corpus)
+    assert len(files) == 8
+    ctx = ds.assemble_context(files[-1], corpus, "test", context_length=0)
+    turns = ctx.split("/n")
+    assert len(turns) >= 2
+    if corpus == "tedlium":
+        # no speaker prefixes; trailing prompt is empty
+        assert not any(t.startswith("Speaker ") for t in turns)
+        assert turns[-1] == ""
+    else:
+        assert all(t.startswith("Speaker ") for t in turns)
+        assert turns[-1] in ("Speaker 0: ", "Speaker 1: ")
+
+    mix, gt = ds.build_eval_list(paths, corpus, "test")
+    assert len(mix) == 3 and all(os.path.exists(p) for p in mix + gt)
+    if corpus == "tedlium":
+        # enrollment register: a gt wav of the same speaker must resolve
+        p = ds.enrollment_path(mix[0], corpus, "test", paths)
+        assert p is not None and os.path.exists(p)

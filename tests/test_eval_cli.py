@@ -26,6 +26,7 @@ def _run_cli(module_name, argv, monkeypatch):
 
 COMMON = [
     "--synthetic_smoke", "--platform", "cpu", "--mode", "test",
+    "--train_data", "dailytalk",
     "--max_sp_len", "2", "--max_ctx_tokens", "16", "--workers", "2",
 ]
 
@@ -78,3 +79,33 @@ def test_eval_cli_cascaded(tmp_path, monkeypatch):
     assert res is None or "si_snr" in res
     hits = list(tmp_path.rglob("test_results_dailytalk.txt"))
     assert hits, "cascaded eval wrote no result file"
+
+
+def test_eval_cli_hcontext_tedlium(tmp_path, monkeypatch):
+    """TEDLIUM: no-Speaker-prefix contexts + enrollment register paths
+    resolved from the gt dir (reference test_HContExt.py + dataset :380-391)."""
+    res = _run_cli(
+        "test_HContExt",
+        ["--synthetic_smoke", "--platform", "cpu", "--mode", "test",
+         "--train_data", "tedlium", "--max_sp_len", "2",
+         "--max_ctx_tokens", "16", "--workers", "2", "--batch_size", "2",
+         "--cue", "joint", "--save_dir", str(tmp_path)],
+        monkeypatch,
+    )
+    assert "si_snr" in res
+    out = tmp_path / "random_init" / "2_speaker_0_ctx_joint"
+    assert (out / "test_results_tedlium.txt").exists()
+
+
+def test_eval_cli_context_spokenwoz(tmp_path, monkeypatch):
+    res = _run_cli(
+        "test",
+        ["--synthetic_smoke", "--platform", "cpu", "--mode", "test",
+         "--train_data", "spokenwoz", "--max_sp_len", "2",
+         "--max_ctx_tokens", "16", "--workers", "2", "--batch_size", "2",
+         "--test_model", "ContExt", "--save_dir", str(tmp_path)],
+        monkeypatch,
+    )
+    assert "si_snr" in res
+    out = tmp_path / "random_init" / "2_speaker_0_ctx"
+    assert (out / "test_results_spokenwoz.txt").exists()

@@ -12,6 +12,7 @@ from cse_tpu.train.loop import train_net
 def _args(extra):
     base = [
         "--synthetic_smoke", "--platform", "cpu", "--debug_tiny_model",
+        "--train_data", "dailytalk",
         "--tot_iters", "3", "--batch_size", "2", "--eval_step", "2",
         "--max_sp_len", "2", "--max_ctx_tokens", "16", "--workers", "2",
         "--log_every", "10",
