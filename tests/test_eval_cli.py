@@ -109,3 +109,18 @@ def test_eval_cli_context_spokenwoz(tmp_path, monkeypatch):
     assert "si_snr" in res
     out = tmp_path / "random_init" / "2_speaker_0_ctx"
     assert (out / "test_results_spokenwoz.txt").exists()
+
+
+def test_eval_cli_contsep_3spk(tmp_path, monkeypatch):
+    """3-speaker eval: mixed_3speaker/gt_3speaker/noise_{1,2}_3speaker dirs,
+    5-field mixing, CE selector over 3 streams (reference test.py protocol)."""
+    res = _run_cli(
+        "test",
+        COMMON + ["--test_model", "ContSep", "--batch_size", "2",
+                  "--num_max_mix", "3", "--num_test_mix", "3",
+                  "--save_dir", str(tmp_path)],
+        monkeypatch,
+    )
+    assert "si_snr" in res
+    out = tmp_path / "random_init" / "3_speaker_0_ctx"
+    assert (out / "test_results_dailytalk.txt").exists()
