@@ -62,7 +62,8 @@ def distributed_init_if_needed():
     # process_count initialize it, after which distributed init is a no-op)
     if "COORDINATOR_ADDRESS" not in os.environ:
         return
-    try:
-        jax.distributed.initialize()
-    except RuntimeError:
-        pass  # already initialized (second call in the same process)
+    if jax._src.distributed.global_state.client is not None:
+        return  # already initialized (second call in the same process)
+    # let real failures (coordinator unreachable, late init) propagate:
+    # swallowing them would silently train every host as process 0
+    jax.distributed.initialize()

@@ -106,10 +106,21 @@ def build_eval_list(
 
 
 def noise_paths_for(gt_path: str, num_test_mix: int) -> list[str]:
-    """Interferer wavs alongside a gt wav (reference ``:329-332``)."""
-    if num_test_mix == 2:
-        return [gt_path.replace("gt", "noise")]
-    return [gt_path.replace("gt", "noise_1"), gt_path.replace("gt", "noise_2")]
+    """Interferer wavs alongside a gt wav (reference ``:329-332``).
+
+    Only the gt *directory component* is rewritten (the reference's
+    whole-path ``.replace('gt', ...)`` corrupts paths whose parents happen
+    to contain ``'gt'``)."""
+    parts = os.path.normpath(gt_path).split(os.sep)
+    noise_names = (
+        ["noise"] if num_test_mix == 2 else ["noise_1", "noise_2"]
+    )
+    out = []
+    for name in noise_names:
+        p = list(parts)
+        p[-2] = p[-2].replace("gt", name, 1)
+        out.append(os.sep.join(p))
+    return out
 
 
 def demand_noise_list(paths: CorpusPaths) -> list[str]:

@@ -450,6 +450,7 @@ class EvalLoader:
                 "noises": np.zeros((nb, T16, self.num_test_mix - 1), np.float32),
                 "sp_len": np.zeros(nb, np.int32),
             }
+            gt_len16 = np.zeros(nb, np.int32)  # true gt extent (enrollment)
             names = []
             ctxs = []
 
@@ -464,6 +465,7 @@ class EvalLoader:
                 out["sp_len"][k] = n
                 g, _ = read_wav(gp)
                 m = min(len(g), n)  # gt trimmed/padded to mix length
+                gt_len16[k] = m
                 out["gt"][k, :m] = g[:m]
                 for c, npth in enumerate(ds.noise_paths_for(gp, self.num_test_mix)):
                     nz, _ = read_wav(npth)
@@ -478,11 +480,12 @@ class EvalLoader:
                 os.path.splitext(os.path.basename(self.mix_paths[i]))[0] for i in rows
             ]
             ids, mask = encode_batch(self.tok, ctxs, cfg.max_ctx_tokens)
-            gt16k = out["gt"].copy()  # pre-resample copy: enrollment audio
-            gt16k_len = out["sp_len"].copy()  # stays at 16 kHz (ECAPA rate)
+            # pre-resample 16 kHz gt for enrollment; kept as host arrays (only
+            # the H-ContExt paths consume them, per-row on host)
+            gt16k = out["gt"]
             batch = dict(resample_eval_batch(cfg.sr, {k: jnp.asarray(v) for k, v in out.items()}))
-            batch["gt16k"] = jnp.asarray(gt16k)
-            batch["gt16k_len"] = jnp.asarray(gt16k_len)
+            batch["gt16k"] = gt16k
+            batch["gt16k_len"] = gt_len16
             batch["context_ids"] = jnp.asarray(ids)
             batch["context_mask"] = jnp.asarray(mask)
             batch["names"] = names

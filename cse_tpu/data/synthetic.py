@@ -73,7 +73,10 @@ def make_synthetic_corpus(
     prng = random.Random(seed)
     data_root = os.path.join(root, _CORPUS_DIRS[corpus])
     lists_root = os.path.join(root, "data")
-    os.makedirs(os.path.join(lists_root, "DailyTalk"), exist_ok=True)
+    if corpus == "dailytalk":
+        os.makedirs(os.path.join(lists_root, "DailyTalk"), exist_ok=True)
+    else:
+        os.makedirs(lists_root, exist_ok=True)
     # test-set context filter: >=5 lines (dailytalk) / >=10 (others)
     ctx_lines = 6 if corpus == "dailytalk" else 11
 

@@ -63,13 +63,14 @@ def setup_synthetic(args):
 
     from cse_tpu.data.synthetic import make_synthetic_corpus
 
-    root = tempfile.mkdtemp(prefix="cse_synth_")
-    corpus = args.train_data if args.train_data in (
-        "dailytalk", "spokenwoz", "tedlium") else "dailytalk"
-    info = make_synthetic_corpus(
-        root, num_test_mix=args.num_test_mix, corpus=corpus
+    assert args.train_data in ("dailytalk", "spokenwoz", "tedlium"), (
+        f"--train_data {args.train_data!r}: unknown corpus"
     )
-    args.train_data = corpus
+    root = tempfile.mkdtemp(prefix="cse_synth_")
+    info = make_synthetic_corpus(
+        root, num_test_mix=args.num_test_mix, corpus=args.train_data
+    )
+    corpus = args.train_data
     setattr(args, f"{corpus}_data_path", info[f"{corpus}_data_path"])
     args.acoustic_noise_path = info["acoustic_noise_path"]
     args.lists_root = info["lists_root"]
@@ -340,13 +341,12 @@ def train_net(args, variant: str):
         from cse_tpu.data.pipeline import crop_enrollment
         from cse_tpu.models.speaker_encoder import encode_speaker
 
-        if "gt16k" in batch:  # training: random 1-5 s crop of the pre-mix gt
-            wav = crop_enrollment(
-                batch["gt16k"], batch["gt16k_len"],
-                jax.random.fold_in(jax.random.key(args.seed + 1), step),
-            )
-        else:
-            wav = batch["gt"]
+        # random 1-5 s crop of the 16 kHz pre-mix gt (both loaders carry
+        # gt16k; the speaker encoder requires 16 kHz input)
+        wav = crop_enrollment(
+            jnp.asarray(batch["gt16k"]), jnp.asarray(batch["gt16k_len"]),
+            jax.random.fold_in(jax.random.key(args.seed + 1), step),
+        )
         return encode_speaker(wav)
 
     # smoke validation before training (reference :282 "debug the pipeline")
