@@ -60,6 +60,11 @@ def _read_wav_py(path: str) -> tuple[np.ndarray, int]:
     audio_format, n_channels, sr, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
     if audio_format == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
         audio_format = struct.unpack("<H", fmt[24:26])[0]
+    # floor to complete frames: truncated files decode their valid prefix
+    # instead of crashing (matches the native decoder's behavior)
+    frame = n_channels * (bits // 8)
+    if frame > 0 and len(data) % frame:
+        data = data[: len(data) - (len(data) % frame)]
     if audio_format == 3 and bits == 32:
         x = np.frombuffer(data, dtype="<f4").astype(np.float32)
     elif audio_format == 1 and bits == 16:

@@ -165,8 +165,9 @@ def crop_enrollment(
     sr: int = 16000,
 ):
     """Random 1-5 s enrollment crop of the pre-mix source (H-ContExt train,
-    reference ``dataset_train_CSE.py:377-379``). Returns [B, max_s*sr] zero-
-    padded crops."""
+    reference ``dataset_train_CSE.py:377-379``). Returns ([B, max_s*sr]
+    zero-padded crops, [B] valid sample counts) — the lengths feed the
+    speaker encoder's masking (reference passes ``wav_lens``)."""
     B, T = gt16k.shape
     k1, k2 = jax.random.split(key)
     emb_len = jax.random.randint(k1, (B,), min_s, max_s + 1) * sr
@@ -176,7 +177,7 @@ def crop_enrollment(
     pos = jnp.arange(max_s * sr)[None, :]
     idx = jnp.minimum(start[:, None] + pos, T - 1)
     out = jnp.take_along_axis(gt16k, idx, axis=1)
-    return out * (pos < emb_len[:, None]).astype(gt16k.dtype)
+    return out * (pos < emb_len[:, None]).astype(gt16k.dtype), emb_len
 
 
 @partial(jax.jit, static_argnames=("sr",))

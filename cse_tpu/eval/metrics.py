@@ -68,7 +68,15 @@ def sdr_numpy(
     out = np.empty(flat_a.shape[0])
     eps = np.finfo(np.float64).eps
     for i in range(flat_a.shape[0]):
-        sol = solve_toeplitz(flat_a[i], flat_x[i])
+        try:
+            sol = solve_toeplitz(flat_a[i], flat_x[i])
+        except np.linalg.LinAlgError:
+            # degenerate (e.g. silent) target: regularize instead of aborting
+            # the whole evaluation (torchmetrics' use_cg_iter path does the
+            # same in spirit)
+            reg = flat_a[i].copy()
+            reg[0] += max(1e-8, 1e-8 * abs(reg[0]))
+            sol = solve_toeplitz(reg, flat_x[i])
         coh = float(flat_x[i] @ sol)
         out[i] = 10.0 * np.log10(max(coh, eps) / max(1.0 - coh, eps))
     return out.reshape(pred.shape[:-1])
@@ -87,7 +95,11 @@ class MeanMetric:
         self.count += values.size
 
     def compute(self) -> float:
-        return self.total / max(self.count, 1)
+        # empty accumulator -> NaN (torchmetrics semantics): 0.0 dB would
+        # read as a measured score and mask a misconfigured eval list
+        if self.count == 0:
+            return float("nan")
+        return self.total / self.count
 
 
 class SiSnrMetric(MeanMetric):

@@ -55,7 +55,30 @@ def _mel_matrix(n_mels=80, n_fft=400, sr=16000, f_min=0.0, f_max=8000.0):
     return fb.T.astype(np.float32)  # [freq, n_mels]
 
 
-def log_mel_fbank(wav: jnp.ndarray, n_mels: int = 80, top_db: float = 80.0) -> jnp.ndarray:
+ECAPA_HOP = 160
+
+
+def frame_mask(n_frames: int, lengths: jnp.ndarray | None) -> jnp.ndarray | None:
+    """[B, n_frames, 1] validity mask from sample lengths (None = all valid)."""
+    if lengths is None:
+        return None
+    valid = jnp.minimum(1 + lengths // ECAPA_HOP, n_frames)  # frames per row
+    return (jnp.arange(n_frames)[None, :] < valid[:, None])[..., None]
+
+
+def _masked_mean(x, mask, axis=1, keepdims=True, eps=1e-12):
+    if mask is None:
+        return x.mean(axis=axis, keepdims=keepdims)
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m, axis=axis, keepdims=keepdims) / jnp.maximum(
+        jnp.sum(m, axis=axis, keepdims=keepdims), eps
+    )
+
+
+def log_mel_fbank(
+    wav: jnp.ndarray, n_mels: int = 80, top_db: float = 80.0,
+    lengths: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """[B, T] @16k -> [B, 1+T//hop, n_mels] log-mel features, mean-normed.
 
     Reproduces the speechbrain Fbank -> InputNormalization(sentence, no std)
@@ -63,9 +86,10 @@ def log_mel_fbank(wav: jnp.ndarray, n_mels: int = 80, top_db: float = 80.0) -> j
     (``train_HContExt.py:165-171``): centered STFT (constant pad, periodic
     hamming window, 25 ms / 10 ms), power spectrum, symmetric mel triangles,
     10*log10 with amin=1e-10, per-utterance top_db clamp, then sentence-level
-    mean subtraction.
+    mean subtraction over the VALID frames (the reference passes ``wav_lens``
+    to ``encode_batch``, so padding must not shift the mean).
     """
-    win, hop, n_fft = 400, 160, 400
+    win, hop, n_fft = 400, ECAPA_HOP, 400
     B, T = wav.shape
     n_frames = 1 + T // hop
     wav = jnp.pad(wav, ((0, 0), (n_fft // 2, n_fft // 2)))  # center, constant
@@ -80,7 +104,7 @@ def log_mel_fbank(wav: jnp.ndarray, n_mels: int = 80, top_db: float = 80.0) -> j
         logmel, logmel.max(axis=(1, 2), keepdims=True) - top_db
     )
     # per-utterance mean normalization (speechbrain mean_var_norm, std off)
-    return logmel - logmel.mean(axis=1, keepdims=True)
+    return logmel - _masked_mean(logmel, frame_mask(n_frames, lengths))
 
 
 # ---------------------------------------------------------------------------
@@ -108,8 +132,8 @@ def _tdnn(x, p, dilation=1):
     return _bn(jax.nn.relu(_conv1d(x, p["w"], p["b"], dilation)), p["bn"])
 
 
-def _se(x, p, lengths=None):
-    s = x.mean(axis=1, keepdims=True)  # [B, 1, C]
+def _se(x, p, mask=None):
+    s = _masked_mean(x, mask)  # [B, 1, C] over valid frames (speechbrain SE)
     s = jax.nn.relu(_conv1d(s, p["w1"], p["b1"]))
     s = jax.nn.sigmoid(_conv1d(s, p["w2"], p["b2"]))
     return x * s
@@ -126,47 +150,59 @@ def _res2net(x, p, scale, dilation):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _se_res2net(x, p, scale, dilation):
+def _se_res2net(x, p, scale, dilation, mask=None):
     r = x
     x = _tdnn(x, p["tdnn1"], 1)
     x = _res2net(x, p["res2net"], scale, dilation)
     x = _tdnn(x, p["tdnn2"], 1)
-    x = _se(x, p["se"])
+    x = _se(x, p["se"], mask)
     return x + r
 
 
-def _asp(x, p, eps=1e-12):
+def _asp(x, p, mask=None, eps=1e-12):
     """Attentive statistics pooling with global context. x: [B, T, C].
 
     speechbrain AttentiveStatisticsPooling semantics (global_context=True,
     eps=1e-12): biased time stats, TDNN->tanh->conv attention, softmax over
-    time, attention-weighted mean/std.
+    time (masked to the valid frames), attention-weighted mean/std.
     """
     B, T, C = x.shape
-    mean = x.mean(axis=1, keepdims=True)
-    std = jnp.sqrt(jnp.clip(jnp.var(x, axis=1, keepdims=True), eps))
+    mean = _masked_mean(x, mask)
+    var = _masked_mean((x - mean) ** 2, mask)
+    std = jnp.sqrt(jnp.clip(var, eps))
     glob = jnp.concatenate(
         [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)], -1
     )
     a = jnp.tanh(_bn(jax.nn.relu(_conv1d(glob, p["tdnn"]["w"], p["tdnn"]["b"])), p["tdnn"]["bn"]))
     a = _conv1d(a, p["w"], p["b"])  # [B, T, C]
+    if mask is not None:
+        a = jnp.where(mask, a, -jnp.inf)
     a = jax.nn.softmax(a, axis=1)
     mu = jnp.sum(a * x, axis=1)
     sg = jnp.sqrt(jnp.clip(jnp.sum(a * x * x, axis=1) - mu * mu, eps))
     return jnp.concatenate([mu, sg], axis=-1)  # [B, 2C]
 
 
-def ecapa_forward(params: dict, wav: jnp.ndarray) -> jnp.ndarray:
-    """[B, T] 16 kHz waveform -> [B, 192] speaker embedding."""
-    feats = log_mel_fbank(wav)
+def ecapa_forward(
+    params: dict, wav: jnp.ndarray, lengths: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """[B, T] 16 kHz waveform (+ per-row valid sample counts) -> [B, 192].
+
+    ``lengths`` mirrors the reference's ``encode_batch(..., wav_lens=...)``
+    (``train_HContExt.py:367``): zero-padded tails are excluded from the
+    fbank mean-norm, SE means, and attentive-statistics pooling so the
+    embedding of an utterance does not depend on how much it was padded.
+    """
+    feats = log_mel_fbank(wav, lengths=lengths)
+    mask = frame_mask(feats.shape[1], lengths)
     x = _tdnn(feats, params["layer1"], 1)
     outs = []
     for i, dil in enumerate((2, 3, 4)):
-        x = _se_res2net(x, params[f"layer{i+2}"], scale=8, dilation=dil)
+        x = _se_res2net(x, params[f"layer{i+2}"], scale=8, dilation=dil, mask=mask)
         outs.append(x)
     x = jnp.concatenate(outs, axis=-1)  # MFA concat [B, T, 3072]
     x = _tdnn(x, params["mfa"], 1)  # full TDNN block: conv + ReLU + BN
-    x = _asp(x, params["asp"])
+    x = _asp(x, params["asp"], mask)
     x = _bn(x[:, None, :], params["asp_bn"])[:, 0]
     emb = (x[:, None, :] @ params["fc"]["w"])[:, 0] + params["fc"]["b"]
     return emb
@@ -302,5 +338,7 @@ class EcapaEncoder:
         self.params = jax.tree.map(jnp.asarray, params)
         self._fwd = jax.jit(ecapa_forward)
 
-    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
-        return self._fwd(self.params, wav)[:, None, :]
+    def __call__(self, wav: jnp.ndarray, lengths=None) -> jnp.ndarray:
+        if lengths is not None:
+            lengths = jnp.asarray(lengths)
+        return self._fwd(self.params, wav, lengths)[:, None, :]

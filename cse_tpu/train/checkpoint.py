@@ -47,13 +47,18 @@ def save_checkpoint(
     prefix = "Best" if best else "Epoch"
     name = f"{prefix}_{epoch:04d}_{step:05d}_{val_sisnr:.2f}.ckpt"
     path = os.path.abspath(os.path.join(checkpoint_dir, name))
-    if best:
-        for prev in glob.glob(os.path.join(checkpoint_dir, "Best_*.ckpt")):
-            shutil.rmtree(prev, ignore_errors=True)
+    prev_best = [
+        p for p in glob.glob(os.path.join(checkpoint_dir, "Best_*.ckpt"))
+        if p != path
+    ] if best else []
     if os.path.exists(path):
         shutil.rmtree(path, ignore_errors=True)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, jax.tree.map(np.asarray, state))
+    # roll the previous Best only AFTER the new one is fully written — a
+    # crash mid-save must never leave the run without a best checkpoint
+    for prev in prev_best:
+        shutil.rmtree(prev, ignore_errors=True)
     return path
 
 

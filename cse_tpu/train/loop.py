@@ -164,6 +164,11 @@ def train_net(args, variant: str):
 
     model, tcfg = build_model(args, variant)
 
+    if variant == "hcontext" and getattr(args, "ecapa_path", ""):
+        from cse_tpu.models.speaker_encoder import configure_speaker_encoder
+
+        configure_speaker_encoder(args.ecapa_path)
+
     files = ds.build_train_list(paths, args.train_data)
     print(f"[cse_tpu] {len(files)} training utterances ({args.train_data})")
     train_loader = TrainLoader(
@@ -343,11 +348,11 @@ def train_net(args, variant: str):
 
         # random 1-5 s crop of the 16 kHz pre-mix gt (both loaders carry
         # gt16k; the speaker encoder requires 16 kHz input)
-        wav = crop_enrollment(
+        wav, wav_len = crop_enrollment(
             jnp.asarray(batch["gt16k"]), jnp.asarray(batch["gt16k_len"]),
             jax.random.fold_in(jax.random.key(args.seed + 1), step),
         )
-        return encode_speaker(wav)
+        return encode_speaker(wav, wav_len)
 
     # smoke validation before training (reference :282 "debug the pipeline")
     validate(params, fast_validate=True)

@@ -81,8 +81,10 @@ def build_optimizer(
         optax.scale_by_learning_rate(schedule),
         scale_by_plateau(),
     )
-    # skip-on-nonfinite: mirrors the reference's grad-norm guard
-    tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    # skip-on-nonfinite: mirrors the reference's grad-norm guard, which
+    # ALWAYS skips (a low threshold would eventually apply a NaN update and
+    # destroy the params; a stall is diagnosable, a silent NaN-out is not)
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=10**8)
     if update_frequency > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=update_frequency)
     return tx

@@ -22,7 +22,7 @@ from cse_tpu.data import datasets as ds
 from cse_tpu.eval.evaluator import evaluate
 from cse_tpu.models import Sepformer, SepformerConfig
 from cse_tpu.models.context_encoder import build_context_encoder
-from cse_tpu.models.speaker_encoder import encode_speaker
+from cse_tpu.models.speaker_encoder import configure_speaker_encoder, encode_speaker
 from cse_tpu.train import checkpoint as ckpt_lib
 from cse_tpu.train.loop import _corpus_paths, setup_synthetic
 from cse_tpu.train.step import TrainConfig, make_eval_step
@@ -57,6 +57,8 @@ def main():
     else:
         raise SystemExit("Please specify checkpoint path (--checkpoint)")
 
+    if args.ecapa_path:
+        configure_speaker_encoder(args.ecapa_path)
     tokenizer = load_tokenizer(args.llama_path, args.llama_auth_token)
     llm = build_context_encoder(args.llama_path, ctx_length=args.ctx_length,
                                 auth_token=args.llama_auth_token)
@@ -98,9 +100,11 @@ def main():
             enroll.append(wav16[: 5 * 16000])
         T = max(len(e) for e in enroll)
         buf = np.zeros((len(enroll), T), np.float32)
+        lens = np.zeros(len(enroll), np.int32)
         for k, e in enumerate(enroll):
             buf[k, : len(e)] = e
-        batch["se"] = encode_speaker(jnp.asarray(buf))
+            lens[k] = len(e)
+        batch["se"] = encode_speaker(jnp.asarray(buf), lens)
         return batch
 
     ckpt_tag = (

@@ -214,3 +214,18 @@ def test_cross_corpus_layouts(tmp_path, corpus):
         # enrollment register: a gt wav of the same speaker must resolve
         p = ds.enrollment_path(mix[0], corpus, "test", paths)
         assert p is not None and os.path.exists(p)
+
+
+def test_truncated_wav_decodes_prefix(tmp_path, rng):
+    """A WAV with a torn-off tail decodes its complete frames instead of
+    crashing the loader (matches the native decoder's flooring)."""
+    x = rng.uniform(-0.5, 0.5, 4000).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, 16000)
+    raw = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(raw[:-1])  # odd data size: not a multiple of the frame size
+    from cse_tpu.data.audio_io import _read_wav_py
+
+    y, sr = _read_wav_py(p)
+    assert sr == 16000 and len(y) == 3999

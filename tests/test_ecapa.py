@@ -281,3 +281,51 @@ def test_importer_roundtrip_shapes():
     enc = EcapaEncoder(params=params)
     out = enc(jnp.zeros((1, 8000)))
     assert out.shape == (1, 1, emb)
+
+
+def test_length_masking_padding_invariance(rng):
+    """With lengths given, the embedding of an utterance must be (nearly)
+    independent of trailing zero-padding — the reference passes wav_lens to
+    encode_batch (train_HContExt.py:367). Without lengths, padding visibly
+    shifts the embedding (the bug this masking fixes)."""
+    params = jax.tree.map(jnp.asarray, random_ecapa_params(None, channels=64, emb=16))
+    n = 48000  # 3 s enrollment in the 5 s crop buffer (the train shape)
+    wav = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    short = jnp.asarray(wav[None])
+    padded = jnp.asarray(np.pad(wav, (0, 80000 - n))[None])
+
+    e_ref = np.asarray(ecapa_forward(params, short, jnp.asarray([n])))[0]
+    e_mask = np.asarray(ecapa_forward(params, padded, jnp.asarray([n])))[0]
+    e_nomask = np.asarray(ecapa_forward(params, padded))[0]
+
+    cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    d_masked = np.linalg.norm(e_mask - e_ref)
+    d_unmasked = np.linalg.norm(e_nomask - e_ref)
+    # residual boundary bleed comes from the (unmasked, as in speechbrain)
+    # convs seeing silence frames; pooled stats must no longer depend on pad
+    assert cos(e_mask, e_ref) > cos(e_nomask, e_ref)
+    assert d_masked < 0.1 * d_unmasked, (d_masked, d_unmasked)
+
+
+def test_configure_speaker_encoder_uses_real_ecapa(tmp_path, rng):
+    """--ecapa_path wiring: a speechbrain-layout .ckpt routes encode_speaker
+    through the real ECAPA port instead of the spectral stub."""
+    from cse_tpu.models import speaker_encoder as se
+
+    torch.manual_seed(0)
+    model = _TorchEcapa()
+    model.eval()
+    path = str(tmp_path / "embedding_model.ckpt")
+    torch.save(model.state_dict(), path)
+
+    wav = jnp.asarray((rng.standard_normal((1, 8000)) * 0.3).astype(np.float32))
+    lens = np.asarray([8000], np.int32)
+    try:
+        se.configure_speaker_encoder(path)
+        got = np.asarray(se.encode_speaker(wav, lens))[:, 0]
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        params = jax.tree.map(jnp.asarray, ecapa_from_state_dict(sd))
+        want = np.asarray(ecapa_forward(params, wav, jnp.asarray(lens)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    finally:
+        se.configure_speaker_encoder(None)  # restore the stub for other tests

@@ -264,3 +264,23 @@ class TestBuckets:
         assert aligned_bucket(64000) == 64000
         # hcontext (2 ctx tokens) at the same bucket hits 128 exactly
         assert inter_len(125000, ctx=2) == 128
+
+
+def test_sdr_numpy_silent_target_no_crash():
+    """Silent gt rows must not abort the eval (regularized Toeplitz solve)."""
+    from cse_tpu.eval.metrics import sdr_numpy
+
+    rng = np.random.default_rng(0)
+    pred = rng.standard_normal((2, 4000))
+    target = np.stack([np.zeros(4000), rng.standard_normal(4000)])
+    out = sdr_numpy(pred, target)
+    assert out.shape == (2,) and np.isfinite(out[1])
+
+
+def test_mean_metric_empty_is_nan():
+    from cse_tpu.eval.metrics import MeanMetric
+
+    m = MeanMetric()
+    assert np.isnan(m.compute())
+    m.update(np.asarray([1.0, 3.0]))
+    assert m.compute() == 2.0
