@@ -130,12 +130,53 @@ int64_t cse_read_wav(const char* path, float* out, int64_t max_len,
   return n;
 }
 
-// Full-file length + rate without copying samples (for planning).
+// Header-only probe: mono frame count + rate WITHOUT decoding samples
+// (sizing pass for cse_read_wav — a full decode here would double the IO).
 int64_t cse_wav_info(const char* path, int32_t* sr_out) {
-  WavData w;
-  if (!read_wav_file(path, &w)) return -1;
-  *sr_out = w.sample_rate;
-  return static_cast<int64_t>(w.samples.size());
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  char hdr[12];
+  if (std::fread(hdr, 1, 12, f) != 12 || std::memcmp(hdr, "RIFF", 4) ||
+      std::memcmp(hdr + 8, "WAVE", 4)) {
+    std::fclose(f);
+    return -1;
+  }
+  uint16_t fmt = 0, channels = 0, bits = 0;
+  uint32_t sr = 0;
+  uint64_t data_size = 0;
+  bool have_fmt = false, have_data = false;
+  while (!(have_fmt && have_data)) {
+    char cid[4];
+    uint32_t size;
+    if (std::fread(cid, 1, 4, f) != 4 || std::fread(&size, 4, 1, f) != 1) break;
+    if (!std::memcmp(cid, "fmt ", 4)) {
+      std::vector<uint8_t> chunk(size);
+      if (std::fread(chunk.data(), 1, size, f) != size) break;
+      std::memcpy(&fmt, chunk.data(), 2);
+      std::memcpy(&channels, chunk.data() + 2, 2);
+      std::memcpy(&sr, chunk.data() + 4, 4);
+      std::memcpy(&bits, chunk.data() + 14, 2);
+      if (fmt == 0xFFFE && size >= 26) std::memcpy(&fmt, chunk.data() + 24, 2);
+      have_fmt = true;
+    } else if (!std::memcmp(cid, "data", 4)) {
+      // clamp the declared size to the bytes actually present (truncated
+      // files, streaming 0xFFFFFFFF placeholders)
+      long pos = std::ftell(f);
+      std::fseek(f, 0, SEEK_END);
+      long end = std::ftell(f);
+      uint64_t avail = (end > pos) ? static_cast<uint64_t>(end - pos) : 0;
+      data_size = (size < avail) ? size : avail;
+      have_data = true;
+    } else {
+      std::fseek(f, size + (size & 1), SEEK_CUR);
+    }
+  }
+  std::fclose(f);
+  bool supported = (fmt == 1 && (bits == 16 || bits == 24 || bits == 32)) ||
+                   (fmt == 3 && bits == 32);
+  if (!have_fmt || !have_data || !sr || !channels || !supported) return -1;
+  *sr_out = static_cast<int32_t>(sr);
+  return static_cast<int64_t>(data_size / (channels * (bits / 8)));
 }
 
 // Parallel batch decode into out[n_files, buf_len] (zero-padded), lengths and
