@@ -56,8 +56,15 @@ class CascadedSelector:
         cand_ids = self.tok.encode(transcript)[1:]  # strip bos (reference :226)
         if len(cand_ids) == 0:
             return -1e9
-        ids = np.asarray([ctx_ids + cand_ids], np.int32)
-        mask = np.ones_like(ids)
+        seq = ctx_ids + cand_ids
+        # left-pad to a 128-multiple bucket: the jitted 8B scorer would
+        # otherwise recompile for every distinct context+transcript length
+        # (left padding with mask 0 leaves logits[:, -len(cand):] unchanged)
+        L = ((len(seq) + 127) // 128) * 128
+        ids = np.zeros((1, L), np.int32)
+        mask = np.zeros((1, L), np.int32)
+        ids[0, L - len(seq):] = seq
+        mask[0, L - len(seq):] = 1
         if self.scorer is not None:
             logits = np.asarray(self.scorer(jnp.asarray(ids), jnp.asarray(mask)))
             lp = jax.nn.log_softmax(jnp.asarray(logits[:, -len(cand_ids):]), axis=-1)

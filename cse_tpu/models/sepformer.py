@@ -244,6 +244,7 @@ class DualComputationBlock(nn.Module):
             d_ffn=cfg.d_ffn,
             pe_max_len=cfg.pe_max_len,
             compute_dtype=cfg.compute_dtype,
+            softmax_dtype=cfg.softmax_dtype,
             use_flash=cfg.use_flash_attention,
             remat_layers=cfg.remat in ("layer", "nested"),
         )

@@ -102,7 +102,6 @@ def fused_stack_apply(
     stack_params: dict,
     nhead: int = 8,
     compute_dtype=jnp.bfloat16,
-    block_rows: int = 1,
 ) -> jnp.ndarray:
     """Run a TransformerStack forward as one fused kernel.
 

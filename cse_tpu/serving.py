@@ -36,8 +36,9 @@ def _dense(x, p, cd):
     return y + p["bias"].astype(cd) if "bias" in p else y
 
 
-def _stack(x, params, cfg, L_real, train=False):
-    """PE + fused transformer stack. x: [G, L, D]."""
+def _stack(x, params, cfg, train=False):
+    """PE + fused transformer stack. x: [G, L, D] (all L positions real;
+    the kernels derive the length from the shape)."""
     pe = sinusoidal_pe(cfg.pe_max_len, cfg.d_model)[: x.shape[1]]
     x = x + pe[None].astype(x.dtype)
     if train:
@@ -96,7 +97,7 @@ def sepformer_fused_forward(
             c = _dense(ctx, blk["intra_context_mapper"], cd)
             c = jnp.broadcast_to(c[:, None], (B, S, Tc, N)).reshape(B * S, Tc, N)
             intra = jnp.concatenate([c, intra.astype(c.dtype)], axis=1)
-        intra = _stack(intra, blk["intra_mdl"], cfg, K + Tc, train=train)
+        intra = _stack(intra, blk["intra_mdl"], cfg, train=train)
         intra = intra[:, Tc:].reshape(B, S, K, N)
         intra = _group_norm(intra, blk["intra_norm"]) + x
 
@@ -105,7 +106,7 @@ def sepformer_fused_forward(
             c = _dense(ctx, blk["inter_context_mapper"], cd)
             c = jnp.broadcast_to(c[:, None], (B, K, Tc, N)).reshape(B * K, Tc, N)
             inter = jnp.concatenate([c, inter.astype(c.dtype)], axis=1)
-        inter = _stack(inter, blk["inter_mdl"], cfg, S + Tc, train=train)
+        inter = _stack(inter, blk["inter_mdl"], cfg, train=train)
         pred_head = inter[:, 0].reshape(B, K, N).mean(axis=1)
         inter = inter[:, Tc:].reshape(B, K, S, N).transpose(0, 2, 1, 3)
         x = _group_norm(inter, blk["inter_norm"]) + intra
@@ -147,8 +148,9 @@ class ServingEngine:
     """Jitted fused-inference wrapper with the Sepformer.apply signature."""
 
     def __init__(self, cfg: SepformerConfig, params: dict):
-        if cfg.compute_dtype == jnp.float32:
-            cfg = SepformerConfig(**{**cfg.__dict__, "compute_dtype": jnp.bfloat16})
+        # compute_dtype is honored as passed — serving at bf16 (the fast
+        # path) is the caller's explicit choice, keeping the "same outputs
+        # as model.apply" contract exact for fp32 configs
         self.cfg = cfg
         self.params = params
         self._fwd = jax.jit(functools.partial(sepformer_fused_forward, cfg=cfg))

@@ -75,8 +75,15 @@ def main():
 
     model, params, mcfg = build_test_model(args)
     tokenizer = load_tokenizer(args.llama_path, args.llama_auth_token)
-    llm = build_context_encoder(args.llama_path, ctx_length=1,
-                                auth_token=args.llama_auth_token)
+    # ContSep consumes the final hidden state only (reference test.py:226).
+    # For ContExt we honor --ctx_length like training and test_HContExt do;
+    # the reference's test.py hardcodes [:, -1:], which silently mis-evaluates
+    # ctx_length>1 models (documented deviation; identical at the default 1).
+    llm = build_context_encoder(
+        args.llama_path,
+        ctx_length=1 if mcfg.variant == "contsep" else args.ctx_length,
+        auth_token=args.llama_auth_token,
+    )
     tcfg = TrainConfig(
         variant="contsep" if mcfg.variant == "contsep" else "context",
         num_spks=mcfg.num_spks, use_ce=mcfg.ce,
