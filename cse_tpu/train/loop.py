@@ -112,6 +112,11 @@ def build_model(args, variant: str) -> tuple[Sepformer, TrainConfig]:
 
 
 def build_schedule(args):
+    # plateau is EXCLUSIVE of warmup/cosine (reference scheduler selection,
+    # train_ContSep.py:244-251: `if plateau: ... elif warmup: ...`) — the
+    # base lr stays constant and only the plateau scale moves it
+    if args.plateau:
+        return args.lr
     if args.warmup:
         if args.tot_iters is not None:
             return cosine_warmup_schedule(args.lr, args.tot_iters, args.warmup_iteration)
@@ -268,6 +273,12 @@ def train_net(args, variant: str):
     eval_step = make_eval_step(model, tcfg, llm_apply=llm)
 
     schedule = build_schedule(args)
+    # per-experiment dump dir (reference train_ContExt.py:131: temp_dir is
+    # derived from the checkpoint dir so parallel runs never mix audio)
+    if not args.temp_dir:
+        args.temp_dir = os.path.join(
+            "./tmp_eval", os.path.basename(os.path.normpath(args.checkpoint_dir))
+        )
     writer = MetricLogger(
         args.checkpoint_dir, args.project,
         enabled=jax.process_index() == 0, config=vars(args),
@@ -275,7 +286,10 @@ def train_net(args, variant: str):
     profile_dir = profile_dir_from_env()
 
     def validate(params, fast_validate=True, epoch=0, step=0):
-        t_cap = 100 if variant == "contsep" else 5  # reference fast-val caps
+        # reference fast-val caps (inclusive break: cap+1 batches run,
+        # train_ContSep.py:602-678). ContSep validates fast even at
+        # eval_step; ContExt/H-ContExt run the full val set there.
+        t_cap = (100 if variant == "contsep" else 5) + 1
         loader = EvalLoader(
             paths, args.train_data, "val", _pipeline_cfg(args, "val"),
             tokenizer, args.batch_size, num_test_mix=args.num_test_mix,
@@ -283,9 +297,22 @@ def train_net(args, variant: str):
         )
         sisnrs, prevs, accs = [], [], []
         dumped = 0
+        if args.generate_speech and jax.process_index() == 0:
+            # stale dumps from earlier validations are cleared first
+            # (reference train_ContExt.py:579-582)
+            import shutil
+
+            shutil.rmtree(os.path.join(args.temp_dir, "val"), ignore_errors=True)
         for bi, batch in enumerate(loader.batches(limit_batches=t_cap if fast_validate else None)):
             if variant == "hcontext":
-                batch["se"] = _enrollment_embeddings(batch)
+                # eval enrollment rules (register wavs / 1 s crops), NOT the
+                # train-time random 1-5 s crop (reference dataset :380-391)
+                from cse_tpu.eval.enrollment import eval_enrollment_embeddings
+
+                batch["se"] = eval_enrollment_embeddings(
+                    batch, args.train_data, "val", paths,
+                    num_test_mix=args.num_test_mix, seed=args.seed,
+                )
             enhanced, aux = eval_step(params, _model_batch(batch))
             sisnrs.append(np.asarray(si_snr(enhanced, batch["gt"])))
             prevs.append(np.asarray(si_snr(batch["mixed"], batch["gt"])))
@@ -311,7 +338,7 @@ def train_net(args, variant: str):
                         ("preds", np.asarray(enhanced)),
                         ("mixed", np.asarray(batch["mixed"])),
                     ):
-                        d = os.path.join(args.temp_dir or "./tmp_eval", "val",
+                        d = os.path.join(args.temp_dir, "val",
                                          args.train_data, sub)
                         os.makedirs(d, exist_ok=True)
                         x = arr[k, :n].astype(np.float32)
@@ -359,6 +386,8 @@ def train_net(args, variant: str):
 
     print(f"[cse_tpu] starting at step {step_num}, epoch {start_epoch}")
     stop = False
+    micro = 0  # global microbatch counter (checkpoints land on update
+    # boundaries, so MultiSteps' restored mini_step is 0 — aligned)
     for epoch in range(start_epoch, args.epochs):
         if stop:
             break
@@ -402,15 +431,21 @@ def train_net(args, variant: str):
             nxt = next(host_iter, None)
             pending = _prepare(nxt) if nxt is not None else None
             # step = optimizer updates, not microbatches (reference
-            # train_ContSep.py:402-421 with --update_frequency)
-            if (i + 1) % args.update_frequency != 0:
+            # train_ContSep.py:402-421 with --update_frequency). The counter
+            # is GLOBAL (not per-epoch) so it stays aligned with
+            # optax.MultiSteps' internal microbatch count across epoch
+            # boundaries whose batch count isn't a multiple of
+            # update_frequency.
+            micro += 1
+            if micro % args.update_frequency != 0:
                 continue
             step_num += 1
             if writer.tb is not None or writer.wandb is not None:
                 vals = {k: float(v) for k, v in metrics.items()}
                 writer.scalars(vals, step_num, prefix="train/")
                 writer.scalar("train/SI-SNR", -vals.get("snr_loss", 0.0), step_num)
-                lr = schedule(step_num) if callable(schedule) else schedule
+                # the update just applied ran at count = step_num - 1
+                lr = schedule(max(step_num - 1, 0)) if callable(schedule) else schedule
                 if plateau is not None:
                     lr = lr * plateau.scale
                 writer.scalar("lr/learning_rate", float(lr), step_num)
@@ -427,15 +462,14 @@ def train_net(args, variant: str):
                 # train-batch audio dumps (reference train_ContSep.py:515-555)
                 from cse_tpu.data.audio_io import write_wav
 
-                ev = make_eval_step(model, tcfg, llm_apply=llm)
-                enhanced, _ = ev(params, batch)
+                enhanced, _ = eval_step(params, batch)
                 for kk in range(min(args.num_gen_speech, enhanced.shape[0])):
                     for sub, arr in (
                         ("gts", np.asarray(batch["gt"])),
                         ("preds", np.asarray(enhanced)),
                         ("mixed", np.asarray(batch["mixed"])),
                     ):
-                        d = os.path.join(args.temp_dir or "./tmp_eval", "train", sub)
+                        d = os.path.join(args.temp_dir, "train", sub)
                         os.makedirs(d, exist_ok=True)
                         x = arr[kk].astype(np.float32)
                         x = x / max(np.abs(x).max(), 1e-9) * 0.9
@@ -447,7 +481,13 @@ def train_net(args, variant: str):
                                          args.sr, step_num)
 
             if step_num % args.eval_step == 0:
-                val = validate(params, fast_validate=True, epoch=epoch, step=step_num)
+                # reference: ContSep validates fast (cap 100, :459); ContExt/
+                # H-ContExt score the FULL val set every eval_step (:425/:417)
+                val = validate(
+                    params,
+                    fast_validate=(variant in ("contsep", "base")),
+                    epoch=epoch, step=step_num,
+                )
                 if plateau is not None and step_num >= args.no_reduce:
                     prev_scale = plateau.scale
                     plateau.step(val)

@@ -8,10 +8,11 @@ Multiplier functions (applied to the base lr, reference ``lr_scheduler.py:11-30`
   host-side state, stepped on validation SI-SNR
   (reference ``train_ContSep.py:244,461-462``).
 
-Note the reference steps its LambdaLR once per optimizer step starting at
-iteration 1 (scheduler.step() after optimizer.step()), so the multiplier at
-update k is f(k). optax schedules are evaluated at the pre-update count
-(0-based); the +1 below aligns them.
+Note torch LambdaLR initializes lr to base*f(0) and calls scheduler.step()
+AFTER optimizer.step(), so the k-th update (1-based) runs at multiplier
+f(k-1) — the very first update uses f(0)=0. optax passes the 0-based count
+of prior updates, which is exactly k-1: the multiplier is f(count), no
+offset.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 
 def cosine_warmup_schedule(base_lr: float, total_steps: int, warmup_steps: int):
     def schedule(count):
-        it = count + 1
+        it = count
         warm = it / max(warmup_steps, 1)
         prog = (it - warmup_steps) / max(total_steps - warmup_steps, 1)
         cos = 0.5 * (1.0 + jnp.cos(math.pi * prog))
@@ -35,8 +36,7 @@ def cosine_warmup_schedule(base_lr: float, total_steps: int, warmup_steps: int):
 
 def linear_warmup_schedule(base_lr: float, warmup_steps: int):
     def schedule(count):
-        it = count + 1
-        return base_lr * jnp.minimum(it / max(warmup_steps, 1), 1.0)
+        return base_lr * jnp.minimum(count / max(warmup_steps, 1), 1.0)
 
     return schedule
 

@@ -11,18 +11,16 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from cse_tpu.compat.torch_import import sepformer_from_state_dict
 from cse_tpu.core.flags import parse_test_args
-from cse_tpu.data.audio_io import read_wav
 from cse_tpu.data.pipeline import EvalLoader, PipelineConfig
 from cse_tpu.data.tokenizer import load_tokenizer
-from cse_tpu.data import datasets as ds
+from cse_tpu.eval.enrollment import eval_enrollment_embeddings
 from cse_tpu.eval.evaluator import evaluate
 from cse_tpu.models import Sepformer, SepformerConfig
 from cse_tpu.models.context_encoder import build_context_encoder
-from cse_tpu.models.speaker_encoder import configure_speaker_encoder, encode_speaker
+from cse_tpu.models.speaker_encoder import configure_speaker_encoder
 from cse_tpu.train import checkpoint as ckpt_lib
 from cse_tpu.train.loop import _corpus_paths, setup_synthetic
 from cse_tpu.train.step import TrainConfig, make_eval_step
@@ -78,33 +76,11 @@ def main():
 
     def prepare_batch(batch):
         """Attach enrollment embeddings (reference rules, dataset :375-391)."""
-        enroll = []
-        rng = np.random.default_rng(args.seed)
-        for k, name in enumerate(batch["names"]):
-            wav16 = None
-            if not args.one_sec and args.test_dataset in ("tedlium", "dailytalk"):
-                p = ds.enrollment_path(
-                    batch["paths"][k], args.test_dataset, "test", paths,
-                    args.num_test_mix,
-                )
-                if p and os.path.exists(p):
-                    wav16, _ = read_wav(p)
-            if wav16 is None:
-                # 1-second crop of the 16 kHz gt (spokenwoz / --one_sec rule;
-                # ECAPA consumes 16 kHz, reference dataset :375-391)
-                gt = np.asarray(batch["gt16k"][k])
-                n = int(batch["gt16k_len"][k])
-                seg = 16000
-                st = int(rng.integers(0, max(n - seg, 1)))
-                wav16 = gt[st : st + seg]
-            enroll.append(wav16[: 5 * 16000])
-        T = max(len(e) for e in enroll)
-        buf = np.zeros((len(enroll), T), np.float32)
-        lens = np.zeros(len(enroll), np.int32)
-        for k, e in enumerate(enroll):
-            buf[k, : len(e)] = e
-            lens[k] = len(e)
-        batch["se"] = encode_speaker(jnp.asarray(buf), lens)
+        batch["se"] = eval_enrollment_embeddings(
+            batch, args.test_dataset, "test", paths,
+            num_test_mix=args.num_test_mix, seed=args.seed,
+            one_sec=args.one_sec,
+        )
         return batch
 
     ckpt_tag = (

@@ -53,9 +53,12 @@ def _batch(rng, B=4, T=400, variant="context", num_spks=2):
 
 
 def test_cosine_warmup_matches_reference_formula():
+    """torch LambdaLR: the k-th update (0-based count=k-1) runs at f(k-1);
+    the first update uses f(0)=0 (lr initialized before any scheduler.step)."""
     sched = cosine_warmup_schedule(2e-4, total_steps=1000, warmup_steps=100)
-    for count in [0, 49, 99, 100, 500, 998]:
-        it = count + 1  # reference evaluates after scheduler.step()
+    assert float(sched(0)) == 0.0
+    for count in [0, 49, 99, 100, 101, 500, 999]:
+        it = count  # multiplier of the reference's (count+1)-th update
         if it <= 100:
             mult = it / 100
         else:
@@ -65,7 +68,8 @@ def test_cosine_warmup_matches_reference_formula():
 
 def test_linear_warmup():
     sched = linear_warmup_schedule(1e-3, warmup_steps=10)
-    assert abs(float(sched(4)) - 1e-3 * 0.5) < 1e-9
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(5)) - 1e-3 * 0.5) < 1e-9
     assert abs(float(sched(100)) - 1e-3) < 1e-9
 
 
