@@ -108,7 +108,19 @@ def build_cascaded(
 
     import os
 
-    asr = WhisperASR(weights_path=whisper_path if whisper_path and os.path.exists(whisper_path) else None)
+    wtok = None
+    try:
+        if os.path.isdir(whisper_path or ""):
+            from transformers import WhisperTokenizer
+
+            wtok = WhisperTokenizer.from_pretrained(whisper_path)
+    except Exception:
+        wtok = None
+
+    asr = WhisperASR(
+        weights_path=whisper_path if whisper_path and os.path.exists(whisper_path) else None,
+        suppress_ids=_non_speech_ids(wtok),
+    )
     if whisper_path is None or not os.path.exists(whisper_path or ""):
         asr.is_stub = True
 
@@ -119,13 +131,26 @@ def build_cascaded(
         enc = LlamaContextEncoder(llama_path)
         scorer = enc.score_logits
 
-    wtok = None
-    try:
-        if os.path.isdir(whisper_path or ""):
-            from transformers import WhisperTokenizer
-
-            wtok = WhisperTokenizer.from_pretrained(whisper_path)
-    except Exception:
-        wtok = None
-
     return CascadedSelector(asr, scorer, tokenizer, whisper_tokenizer=wtok, sr=sr)
+
+
+def _non_speech_ids(wtok) -> tuple:
+    """whisper's tokenizer-derived non-speech suppression set (symbols and
+    music markers that transcribe() bars by default via suppress_tokens=-1).
+    Empty when tokenizer assets are absent (decode falls back to the static
+    control/timestamp suppression only)."""
+    if wtok is None:
+        return ()
+    symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』') + (
+        "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪"
+    ).split()
+    ids = set()
+    for sym in symbols + [" -", " '"]:
+        for tok in {sym, " " + sym.strip()}:
+            try:
+                enc = wtok.encode(tok, add_special_tokens=False)
+            except Exception:
+                continue
+            if len(enc) == 1:
+                ids.add(int(enc[0]))
+    return tuple(sorted(ids))

@@ -54,8 +54,24 @@ class WhisperConfig:
         return 50359
 
     @property
+    def token_translate(self):
+        return 50358
+
+    @property
+    def token_sot_prev(self):
+        return 50361
+
+    @property
+    def token_nospeech(self):
+        return 50362
+
+    @property
     def token_notimestamps(self):
         return 50363
+
+    @property
+    def timestamp_begin(self):
+        return 50364
 
     @property
     def token_lang_en(self):
@@ -266,21 +282,42 @@ def _attn_cached(q, k, v, n_head, bias):
     return out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_tokens"))
+@partial(jax.jit, static_argnames=("cfg", "max_tokens", "suppress_ids"))
 def whisper_greedy_decode(
     params: dict,
     mel: jnp.ndarray,
     cfg: WhisperConfig,
     max_tokens: int = 224,
     language_token: int | None = None,
+    suppress_ids: tuple = (),
 ):
     """Greedy transcription. Returns (tokens [B, max_tokens], lengths [B]).
 
     Prompt = [SOT, lang, transcribe, notimestamps] (whisper.transcribe with
     temperature 0, timestamps suppressed); stops at EOT per sequence.
+
+    Logit suppression mirrors whisper's decode filters: control tokens and
+    (in notimestamps mode) all timestamp tokens never sample, EOT is barred
+    at the first content position (SuppressBlank), and ``suppress_ids`` adds
+    the tokenizer-derived non-speech set when its assets are available.
     """
     B = mel.shape[0]
     audio = whisper_encode(params, mel, cfg)  # [B, 1500, D]
+
+    # static -inf mask over never-sampled tokens (whisper SuppressTokens +
+    # the timestamp range, since the prompt pins <|notimestamps|>)
+    never = np.zeros(cfg.n_vocab, np.float32)
+    control = [cfg.sot, cfg.token_translate, cfg.token_transcribe,
+               cfg.token_sot_prev, cfg.token_nospeech, cfg.token_notimestamps]
+    never[[t for t in control if t < cfg.n_vocab]] = -np.inf
+    if cfg.timestamp_begin < cfg.n_vocab:
+        never[cfg.timestamp_begin:] = -np.inf
+    for t in suppress_ids:
+        if 0 <= t < cfg.n_vocab:
+            never[t] = -np.inf
+    never_mask = jnp.asarray(never)
+    # SuppressBlank: no immediate EOT at the first content position
+    first_mask = jnp.zeros(cfg.n_vocab).at[cfg.eot].set(-jnp.inf)
 
     # precompute cross-attention K/V per layer
     ak, av = [], []
@@ -308,6 +345,8 @@ def whisper_greedy_decode(
     def body(state):
         i, tok, kv, out, done = state
         logits, kv = _decoder_step(params, cfg, tok, i, kv, audio_kv)
+        logits = logits + never_mask
+        logits = jnp.where(i + 1 == P, logits + first_mask, logits)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         in_prompt = i + 1 < P
         nxt = jnp.where(in_prompt, jnp.full_like(nxt, prompt[jnp.minimum(i + 1, P - 1)]), nxt)
@@ -453,8 +492,9 @@ class WhisperASR:
     """Batch transcriber: wav [B, T]@16k -> list of token-id lists."""
 
     def __init__(self, weights_path: str | None = None, cfg: WhisperConfig | None = None,
-                 params: dict | None = None):
+                 params: dict | None = None, suppress_ids: tuple = ()):
         self.cfg = cfg or WhisperConfig()
+        self.suppress_ids = tuple(sorted(set(int(t) for t in suppress_ids)))
         if params is None and weights_path is not None:
             import torch
 
@@ -471,6 +511,7 @@ class WhisperASR:
             wav16k, self.cfg.n_mels, n_frames=self.cfg.n_audio_ctx * 2
         )
         toks, lens = whisper_greedy_decode(
-            self.params, mel, self.cfg, max_tokens=max_tokens
+            self.params, mel, self.cfg, max_tokens=max_tokens,
+            suppress_ids=self.suppress_ids,
         )
         return np.asarray(toks), np.asarray(lens)
