@@ -38,3 +38,23 @@ def test_train_net_mesh_dp(tmp_path):
     ])
     params = train_net(args, variant="context")
     assert params is not None
+
+
+def test_resume_from_ckpt_continues(tmp_path):
+    """--resume --from_ckpt restores step/epoch/opt state and keeps training
+    (reference train_ContSep.py:179-211 semantics) through the CLI layer."""
+    from cse_tpu.train import checkpoint as ckpt_lib
+
+    d = str(tmp_path / "run")
+    args = _args(["--checkpoint_dir", d, "--tot_iters", "2"])
+    train_net(args, variant="context")
+    first = ckpt_lib.latest_checkpoint(d)
+    assert first is not None
+    s1 = int(ckpt_lib.restore_checkpoint(first)["step"])
+
+    args2 = _args(["--checkpoint_dir", d, "--tot_iters", "4",
+                   "--resume", "--from_ckpt"])
+    train_net(args2, variant="context")
+    second = ckpt_lib.latest_checkpoint(d)
+    s2 = int(ckpt_lib.restore_checkpoint(second)["step"])
+    assert s2 > s1, (s1, s2)
