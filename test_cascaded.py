@@ -98,6 +98,7 @@ def main():
         "sdr": m_sdr.compute(),
         "si_snr_i": m_sisnr.compute() - m_sisnr_p.compute(),
         "sdr_i": m_sdr.compute() - m_sdr_p.compute(),
+        "n": m_sisnr.count,
     }
     print("## Test SI-SNR: ", res["si_snr"])
     print("## Test SDR: ", res["sdr"])

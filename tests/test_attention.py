@@ -63,3 +63,34 @@ def test_model_flash_flag_matches(rng):
     out1 = m1.apply(params, mix, ctx)
     out2 = m2.apply(params, mix, ctx)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_flag_actually_routes_to_kernel(rng, monkeypatch):
+    """use_flash_attention must dispatch the Pallas kernel — an A==A output
+    comparison passes even if the flag is silently dropped."""
+    import cse_tpu.models.sepformer as sf
+    from cse_tpu.models import Sepformer, SepformerConfig
+    from cse_tpu.ops import attention as att
+
+    calls = {"n": 0}
+    real = att.flash_mhsa
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(att, "flash_mhsa", counting)
+    monkeypatch.setattr(sf, "flash_mhsa", counting, raising=False)
+
+    kw = dict(
+        enc_channels=16, enc_kernel=8, enc_stride=4, d_model=16, nhead=4,
+        d_ffn=32, num_tf_layers=1, num_dp_layers=1, chunk_size=10,
+        llm_dim=24, pe_max_len=256, variant="context",
+        use_flash_attention=True,
+    )
+    mix = jnp.asarray(rng.standard_normal((1, 300)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((1, 1, 24)).astype(np.float32))
+    m = Sepformer(SepformerConfig(**kw))
+    params = m.init(jax.random.key(0), mix, ctx)
+    m.apply(params, mix, ctx)
+    assert calls["n"] > 0, "flash path never invoked despite use_flash_attention"

@@ -129,7 +129,7 @@ def test_full_train_step_fused_matches_xla(rng):
                 sorted(ref_grads, key=lambda t: str(t[0])),
             ):
                 np.testing.assert_allclose(
-                    np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3, err_msg=str(ka)
+                    np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4, err_msg=str(ka)
                 )
         else:
             ref_loss = float(loss)
@@ -166,6 +166,20 @@ def test_fused_loss_other_variants(rng, variant):
     params = model.init(jax.random.key(0), batch["mixed"], batch["ctx_feat"], **init_kw)
     tcfg = TrainConfig(variant=variant, use_ce=True)
     key = jax.random.key(7)
-    l_ref, _ = make_loss_fn(model, tcfg)(params, batch, key)
-    l_fused, _ = make_loss_fn(model, tcfg, fused=True)(params, batch, key)
+    fn_ref = make_loss_fn(model, tcfg)
+    fn_fused = make_loss_fn(model, tcfg, fused=True)
+    l_ref, _ = fn_ref(params, batch, key)
+    l_fused, _ = fn_fused(params, batch, key)
     assert abs(float(l_ref) - float(l_fused)) < 2e-3, (float(l_ref), float(l_fused))
+    # gradient parity too: the selector head (pred_head -> context_selector)
+    # and the se_embedding/cue-concat paths have fused-specific wiring that a
+    # loss-only check cannot validate
+    g_ref = jax.grad(lambda p: fn_ref(p, batch, key)[0])(params)
+    g_fused = jax.grad(lambda p: fn_fused(p, batch, key)[0])(params)
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g_fused), key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(g_ref), key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4, err_msg=str(ka)
+        )

@@ -284,3 +284,112 @@ def test_mean_metric_empty_is_nan():
     assert np.isnan(m.compute())
     m.update(np.asarray([1.0, 3.0]))
     assert m.compute() == 2.0
+
+
+def test_si_snr_analytic_orthogonal_decomposition():
+    """Independent oracle: for pred = a*t + b*n with zero-mean t ⊥ n,
+    SI-SNR = 10 log10(a²‖t‖² / b²‖n‖²) by construction — no shared code with
+    the implementations under test."""
+    from cse_tpu.eval.metrics import si_snr_numpy
+    from cse_tpu.ops.losses import si_snr as si_snr_jnp
+
+    rng = np.random.default_rng(3)
+    t = rng.standard_normal(4096)
+    t -= t.mean()
+    n = rng.standard_normal(4096)
+    n -= n.mean()
+    n -= (n @ t) / (t @ t) * t  # orthogonalize
+    a, b = 1.7, 0.31
+    pred = a * t + b * n
+    want = 10 * np.log10((a**2 * (t @ t)) / (b**2 * (n @ n)))
+    got_np = float(si_snr_numpy(pred[None], t[None])[0])
+    got_jx = float(si_snr_jnp(jnp.asarray(pred[None]), jnp.asarray(t[None]))[0])
+    assert abs(got_np - want) < 1e-6, (got_np, want)
+    assert abs(got_jx - want) < 1e-3, (got_jx, want)
+
+
+def test_sdr_against_lstsq_oracle():
+    """Independent oracle for the filter-based SDR: explicitly build the
+    [T, L] convolution design matrix of target shifts, least-squares fit the
+    distortion filter, and compute 10log10(‖proj‖²/‖residual‖²) — the
+    torchmetrics definition from first principles, sharing nothing with the
+    FFT/Toeplitz implementations under test."""
+    from cse_tpu.eval.metrics import sdr_numpy
+    from cse_tpu.ops.losses import sdr as sdr_jnp
+
+    rng = np.random.default_rng(5)
+    T, L = 1500, 512
+    t = rng.standard_normal(T)
+    # pred: filtered target + noise, so the fit is nontrivial
+    pred = np.convolve(t, [0.8, 0.15, -0.1], mode="full")[:T]
+    pred += 0.05 * rng.standard_normal(T)
+
+    tn = t / np.linalg.norm(t)
+    pn = pred / np.linalg.norm(pred)
+    # full linear-convolution design matrix (rows cover the filter tail too):
+    # its exact normal equations are the Toeplitz autocorrelation system the
+    # torchmetrics definition prescribes
+    A = np.zeros((T + L - 1, L))
+    for k in range(L):
+        A[k : k + T, k] = tn
+    pp = np.pad(pn, (0, L - 1))
+    h, *_ = np.linalg.lstsq(A, pp, rcond=None)
+    resid = pp - A @ h
+    want = 10 * np.log10((pp @ pp - resid @ resid) / (resid @ resid))
+
+    got_np = float(sdr_numpy(pred[None], t[None])[0])
+    got_jx = float(sdr_jnp(jnp.asarray(pred[None]), jnp.asarray(t[None]))[0])
+    assert abs(got_np - want) < 1e-3, (got_np, want)
+    assert abs(got_jx - want) < 0.05, (got_jx, want)
+
+
+def test_mix3_distinct_lengths_masked_energy():
+    """3-spk gains must use each source's OWN valid length: with zero-padded
+    tails of different lengths, the achieved in-band SNRs still match the
+    requested ones (guards _masked_energy index mixups invisible at equal
+    lengths)."""
+    from cse_tpu.ops.mixing import mix_3spk
+
+    rng = np.random.default_rng(11)
+    T = 4000
+    lens = np.asarray([3000, 2200, 1400], np.int32)
+    sigs = np.zeros((3, 1, T), np.float32)
+    for i, ln in enumerate(lens):
+        sigs[i, 0, :ln] = rng.standard_normal(ln)
+    snr1, snr2 = jnp.asarray([4.0]), jnp.asarray([-3.0])
+    mixed, gt, s1, s2, mlen = mix_3spk(
+        jnp.asarray(sigs[0]), jnp.asarray(sigs[1]), jnp.asarray(sigs[2]),
+        snr1, snr2,
+        jnp.asarray(lens[:1]), jnp.asarray(lens[1:2]), jnp.asarray(lens[2:]),
+    )
+    scale = np.abs(np.asarray(mixed)).max()  # peak-norm applied uniformly
+
+    def e(x, ln):
+        x = np.asarray(x)[0, :ln]
+        return (x**2).mean()
+
+    got1 = 10 * np.log10(e(gt, lens[0]) / e(s1, lens[1]))
+    got2 = 10 * np.log10(e(gt, lens[0]) / e(s2, lens[2]))
+    assert abs(got1 - 4.0) < 0.2, got1
+    assert abs(got2 - (-3.0)) < 0.2, got2
+
+
+def test_kaiser_resample_absolute_amplitude():
+    """The kaiser-window branch must preserve absolute gain (the hann branch
+    has a sine-amplitude check; correlation-only checks are scale-blind)."""
+    from cse_tpu.ops.resample import resample
+
+    t = np.arange(16000) / 16000.0
+    x = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    y, _ = resample(jnp.asarray(x[None]), 16000, 8000,
+                    lowpass_filter_width=64, rolloff=0.9475937167399596,
+                    window="kaiser")
+    y = np.asarray(y)[0]
+    mid = y[800:-800]  # skip filter edges
+    amp = np.abs(mid).max()
+    assert abs(amp - 0.5) < 0.01, amp
+    # and it is still the same 440 Hz tone
+    t8 = np.arange(len(y)) / 8000.0
+    ref = 0.5 * np.sin(2 * np.pi * 440.0 * t8)
+    corr = np.corrcoef(mid, ref[800 : 800 + len(mid)])[0, 1]
+    assert corr > 0.999, corr

@@ -240,22 +240,37 @@ def test_encoder_shape(rng):
 
 
 def test_greedy_decode_runs_and_stops(rng):
+    """EOT must actually terminate decoding early (lens < max_tokens).
+
+    Deterministic construction: final-LN scale 0 makes the decoder output the
+    LN bias vector b at every position, so logits are constant; tok_emb[eot]
+    = 10*b then guarantees EOT wins argmax everywhere. SuppressBlank bars EOT
+    at the first content position, so exactly ONE content token is emitted.
+    """
     params = random_whisper_params(TINY)
-    # bias the EOT logit so decode terminates quickly
-    params["tok_emb"][TINY.eot] *= 5.0
+    D = TINY.n_text_state
+    b = np.linspace(0.5, 1.5, D).astype(np.float32)
+    params["dec_ln"] = {"scale": np.zeros(D, np.float32), "bias": b}
+    params["tok_emb"] = params["tok_emb"] * 0.01
+    params["tok_emb"][TINY.eot] = 10.0 * b
     params = jax.tree.map(jnp.asarray, params)
     toks, lens = whisper_greedy_decode(params, _mel(rng, 2), TINY, max_tokens=8)
     assert toks.shape == (2, 8)
-    assert (np.asarray(lens) <= 8).all()
+    lens = np.asarray(lens)
+    assert (lens == 1).all(), lens  # stopped early, not at the cap
+    assert (np.asarray(toks)[:, 0] != TINY.eot).all()  # SuppressBlank held
 
 
 def test_decode_batch_consistency(rng):
-    """Decoding [a, b] batched == decoding a and b separately (greedy)."""
+    """Decoding [a, b] batched == decoding a and b separately (greedy) — for
+    EVERY row, so KV-cache bugs on non-leading batch rows can't hide."""
     params = jax.tree.map(jnp.asarray, random_whisper_params(TINY))
     mel = _mel(rng, 2)
     t_all, l_all = whisper_greedy_decode(params, mel, TINY, max_tokens=6)
     t0, _ = whisper_greedy_decode(params, mel[:1], TINY, max_tokens=6)
+    t1, _ = whisper_greedy_decode(params, mel[1:], TINY, max_tokens=6)
     np.testing.assert_array_equal(np.asarray(t_all)[0], np.asarray(t0)[0])
+    np.testing.assert_array_equal(np.asarray(t_all)[1], np.asarray(t1)[0])
 
 
 def test_importer_roundtrip(rng):
