@@ -51,19 +51,36 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def distributed_init_if_needed():
-    """Multi-host rendezvous (the torchrun/idr_torch replacement).
+    """Multi-host rendezvous (the torchrun/idr_torch replacement,
+    reference ``train_ContSep.py:114-132``).
 
-    On single-host (including the CPU test mesh) this is a no-op; on a
-    multi-host TPU slice, coordinator discovery comes from the TPU runtime.
+    Activation signals, mirroring the reference's env-var rendezvous:
+    * ``COORDINATOR_ADDRESS`` (+ optional ``JAX_NUM_PROCESSES`` /
+      ``JAX_PROCESS_ID``) — generic host:port rendezvous, any backend;
+    * ``CSE_MULTIHOST=1`` — TPU pod slices, where the TPU runtime provides
+      coordinator/process discovery to ``jax.distributed.initialize()``.
+    On single-host (including the CPU test mesh) this is a no-op.
     """
     import os
 
     # NB: must run before anything touches a jax backend (device_count /
     # process_count initialize it, after which distributed init is a no-op)
-    if "COORDINATOR_ADDRESS" not in os.environ:
-        return
     if jax._src.distributed.global_state.client is not None:
         return  # already initialized (second call in the same process)
-    # let real failures (coordinator unreachable, late init) propagate:
-    # swallowing them would silently train every host as process 0
-    jax.distributed.initialize()
+    addr = os.environ.get("COORDINATOR_ADDRESS")
+    if addr:
+        # let real failures (coordinator unreachable, late init) propagate:
+        # swallowing them would silently train every host as process 0
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=(
+                int(os.environ["JAX_NUM_PROCESSES"])
+                if "JAX_NUM_PROCESSES" in os.environ else None
+            ),
+            process_id=(
+                int(os.environ["JAX_PROCESS_ID"])
+                if "JAX_PROCESS_ID" in os.environ else None
+            ),
+        )
+    elif os.environ.get("CSE_MULTIHOST"):
+        jax.distributed.initialize()  # TPU-pod auto-discovery
