@@ -45,7 +45,19 @@ def data_sharded(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a pytree of [B, ...] arrays with B sharded over the data axis."""
+    """Place a pytree of [B, ...] arrays with B sharded over the data axis.
+
+    Multi-host: each process passes its HOST-LOCAL batch (the loader already
+    shards the file list per host) and the shards are assembled into one
+    global array — ``device_put`` cannot address other hosts' devices
+    (reference ``DistributedSampler`` + DDP semantics, one global batch).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            batch, mesh, P(DATA_AXIS)
+        )
     sh = data_sharded(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 

@@ -34,6 +34,39 @@ loader = TrainLoader(files, PipelineConfig(max_sp_len=1), ByteTokenizer(),
                      "dailytalk", batch_size=1)
 idx = sorted(loader.epoch_indices(0))
 print("SHARD", jax.process_index(), idx, flush=True)
+
+# one REAL SPMD train step over the 2-process global mesh: host-local batch
+# shards assemble into a global array (shard_batch's multi-host path) and
+# gradients all-reduce across processes
+import numpy as np
+from cse_tpu.core.mesh import make_mesh, shard_batch
+from cse_tpu.models import Sepformer, SepformerConfig
+from cse_tpu.train.optimizer import build_optimizer
+from cse_tpu.train.step import TrainConfig, make_train_step
+
+mesh = make_mesh(n_data=2)  # 2 global devices, 1 per process
+cfg = SepformerConfig(
+    variant="context", enc_channels=8, enc_kernel=8, enc_stride=4, d_model=8,
+    nhead=2, d_ffn=16, num_tf_layers=1, num_dp_layers=1, chunk_size=8,
+    llm_dim=8, pe_max_len=128,
+)
+model = Sepformer(cfg)
+rng = np.random.default_rng(jax.process_index())  # per-host data divergence
+local = {
+    "mixed": jnp.asarray(rng.standard_normal((1, 800)).astype(np.float32)),
+    "gt": jnp.asarray(rng.standard_normal((1, 800)).astype(np.float32)),
+    "ctx_feat": jnp.asarray(rng.standard_normal((1, 1, 8)).astype(np.float32)),
+}
+params = model.init(jax.random.key(0), local["mixed"], local["ctx_feat"])
+tx = build_optimizer(1e-4)
+opt_state = tx.init(params)
+step = make_train_step(model, tx, TrainConfig(variant="context"), mesh=mesh)
+gbatch = shard_batch(local, mesh)
+assert gbatch["mixed"].shape[0] == 2, gbatch["mixed"].shape  # global batch
+params, opt_state, metrics = step(params, opt_state, gbatch, jax.random.key(1))
+loss = float(metrics["loss"])  # replicated: identical on both hosts
+assert np.isfinite(loss)
+print("STEP", jax.process_index(), round(loss, 6), flush=True)
 """
 
 
@@ -69,13 +102,19 @@ def test_two_process_rendezvous_and_sharding():
         outs.append(out)
     assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
 
-    shards = {}
+    shards, losses = {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("SHARD"):
                 _, pi, idx = line.split(" ", 2)
                 shards[int(pi)] = set(eval(idx))
+            if line.startswith("STEP"):
+                _, pi, loss = line.split()
+                losses[int(pi)] = float(loss)
     assert set(shards) == {0, 1}
     # DistributedSampler semantics: disjoint shards covering the corpus
     assert shards[0].isdisjoint(shards[1])
     assert len(shards[0] | shards[1]) == 10
+    # the SPMD step's replicated loss must agree across hosts (each host fed
+    # DIFFERENT local data, so agreement proves the cross-process reduction)
+    assert set(losses) == {0, 1} and losses[0] == losses[1], losses
