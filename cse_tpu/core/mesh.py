@@ -77,7 +77,7 @@ def distributed_init_if_needed():
 
     # NB: must run before anything touches a jax backend (device_count /
     # process_count initialize it, after which distributed init is a no-op)
-    if jax._src.distributed.global_state.client is not None:
+    if jax.distributed.is_initialized():
         return  # already initialized (second call in the same process)
     addr = os.environ.get("COORDINATOR_ADDRESS")
     if addr:

@@ -108,20 +108,34 @@ def build_cascaded(
 
     import os
 
+    # --whisper_path accepts either the OpenAI base.pt FILE (tokenizer assets
+    # searched next to it) or a DIRECTORY holding both a *.pt checkpoint and
+    # HF WhisperTokenizer files
+    weights_path = None
+    tok_dir = None
+    if whisper_path and os.path.isdir(whisper_path):
+        tok_dir = whisper_path
+        import glob as _glob
+
+        pts = sorted(_glob.glob(os.path.join(whisper_path, "*.pt")))
+        weights_path = pts[0] if pts else None
+    elif whisper_path and os.path.exists(whisper_path):
+        weights_path = whisper_path
+        tok_dir = os.path.dirname(os.path.abspath(whisper_path))
+
     wtok = None
     try:
-        if os.path.isdir(whisper_path or ""):
+        if tok_dir:
             from transformers import WhisperTokenizer
 
-            wtok = WhisperTokenizer.from_pretrained(whisper_path)
+            wtok = WhisperTokenizer.from_pretrained(tok_dir)
     except Exception:
         wtok = None
 
     asr = WhisperASR(
-        weights_path=whisper_path if whisper_path and os.path.exists(whisper_path) else None,
-        suppress_ids=_non_speech_ids(wtok),
+        weights_path=weights_path, suppress_ids=_non_speech_ids(wtok)
     )
-    if whisper_path is None or not os.path.exists(whisper_path or ""):
+    if weights_path is None:
         asr.is_stub = True
 
     scorer = ctx_scorer

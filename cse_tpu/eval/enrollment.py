@@ -42,11 +42,13 @@ def eval_enrollment_embeddings(
             if p and os.path.exists(p):
                 wav16, _ = read_wav(p)
         if wav16 is None:
-            # 1-second crop of the 16 kHz gt (spokenwoz / --one_sec rule)
+            # 1-second crop of the 16 kHz gt (spokenwoz / --one_sec rule);
+            # the crop may not run into the zero-padded tail of the buffer,
+            # so its VALID extent is bounded by the gt's true length
             gt = np.asarray(batch["gt16k"][k])
             n = int(batch["gt16k_len"][k])
             st = int(rng.integers(0, max(n - 16000, 0) + 1))
-            wav16 = gt[st : st + 16000]
+            wav16 = gt[st : min(st + 16000, max(n, 1))]
         enroll.append(np.asarray(wav16, np.float32))
     T = max(len(e) for e in enroll)
     buf = np.zeros((len(enroll), T), np.float32)

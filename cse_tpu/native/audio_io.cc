@@ -44,6 +44,7 @@ bool read_wav_file(const char* path, WavData* out) {
     uint32_t size;
     if (std::fread(cid, 1, 4, f) != 4 || std::fread(&size, 4, 1, f) != 1) break;
     if (!std::memcmp(cid, "fmt ", 4)) {
+      if (size < 16) break;  // malformed: fields below need 16 bytes
       std::vector<uint8_t> chunk(size);
       if (std::fread(chunk.data(), 1, size, f) != size) break;
       std::memcpy(&fmt, chunk.data(), 2);
@@ -150,6 +151,7 @@ int64_t cse_wav_info(const char* path, int32_t* sr_out) {
     uint32_t size;
     if (std::fread(cid, 1, 4, f) != 4 || std::fread(&size, 4, 1, f) != 1) break;
     if (!std::memcmp(cid, "fmt ", 4)) {
+      if (size < 16) break;  // malformed: fields below need 16 bytes
       std::vector<uint8_t> chunk(size);
       if (std::fread(chunk.data(), 1, size, f) != size) break;
       std::memcpy(&fmt, chunk.data(), 2);

@@ -49,7 +49,7 @@ def save_checkpoint(
     path = os.path.abspath(os.path.join(checkpoint_dir, name))
     prev_best = [
         p for p in glob.glob(os.path.join(checkpoint_dir, "Best_*.ckpt"))
-        if p != path
+        if os.path.abspath(p) != path  # glob may yield relative paths
     ] if best else []
     if os.path.exists(path):
         shutil.rmtree(path, ignore_errors=True)

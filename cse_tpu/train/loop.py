@@ -157,6 +157,14 @@ def train_net(args, variant: str):
 
     paths = _corpus_paths(args)
     tokenizer = load_tokenizer(args.llama_path, args.llama_auth_token)
+    if jax.process_count() > 1 and not args.mesh_data:
+        # without a process-spanning mesh there is NO gradient sync: each
+        # host would silently train its own model on its data shard
+        raise SystemExit(
+            f"multi-host run ({jax.process_count()} processes) requires "
+            f"--mesh_data spanning all devices (e.g. --mesh_data "
+            f"{jax.device_count()})"
+        )
     mesh = make_mesh(args.mesh_data) if args.mesh_data else None
     llm = None
     if variant != "base":
@@ -388,6 +396,7 @@ def train_net(args, variant: str):
     stop = False
     micro = 0  # global microbatch counter (checkpoints land on update
     # boundaries, so MultiSteps' restored mini_step is 0 — aligned)
+    dispatch_idx = 0  # per-dispatch RNG stream for enrollment crops
     for epoch in range(start_epoch, args.epochs):
         if stop:
             break
@@ -399,13 +408,19 @@ def train_net(args, variant: str):
             # one batch AHEAD of the blocking metric sync below so the next
             # batch's synthesis/copies overlap the in-flight train step
             # (double-buffered puts, PERF.md "input pipeline overlap")
+            nonlocal dispatch_idx
+            dispatch_idx += 1
             b = train_loader.device_batch(host)
-            full = b
+            if variant == "hcontext":
+                # enrollment embeddings must join the batch BEFORE global
+                # assembly: on multi-host, every leaf the sharded step
+                # consumes has to become a global array in shard_batch
+                b["se"] = _enrollment_embeddings(b, dispatch_idx)
             b = {k: v for k, v in b.items()
                  if k not in ("gt16k", "gt16k_len", "sp_len")}
             if mesh is not None:
                 b = shard_batch(b, mesh)
-            return b, full
+            return b
 
         host_iter = iter(prefetch(train_loader.batches(epoch)))
         nxt = next(host_iter, None)
@@ -413,15 +428,13 @@ def train_net(args, variant: str):
         i = -1
         while pending is not None:
             i += 1
-            batch, full_batch = pending
+            batch = pending
             if i % args.log_every == 0:
                 iter_time = timer.lap()
                 print(
                     "******** Training [%d / %d] : %d / %d, Iter Time : %.3f sec ********"
                     % (epoch, args.epochs, (i + 1) * B, len(files), iter_time)
                 )
-            if variant == "hcontext":
-                batch["se"] = _enrollment_embeddings(full_batch, step_num)
             with trace_if(profile_dir, step_num):
                 params, opt_state, metrics = train_step(
                     params, opt_state, batch,
