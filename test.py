@@ -19,7 +19,6 @@ from cse_tpu.compat.torch_import import (
     sepformer_from_state_dict,
 )
 from cse_tpu.core.flags import parse_test_args
-from cse_tpu.data import datasets as ds
 from cse_tpu.data.pipeline import EvalLoader, PipelineConfig
 from cse_tpu.data.tokenizer import load_tokenizer
 from cse_tpu.eval.evaluator import evaluate

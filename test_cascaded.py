@@ -32,7 +32,6 @@ from cse_tpu.train.loop import _corpus_paths, setup_synthetic
 
 
 def main():
-    import argparse
 
     args = parse_test_args()
     if args.platform:
