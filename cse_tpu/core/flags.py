@@ -107,6 +107,11 @@ def add_test_flags(p: argparse.ArgumentParser):
     p.add_argument("--local_rank", type=int, default=0)
     p.add_argument("--whisper_path", type=str, default=None,
                    help="local OpenAI whisper base.pt (cascaded pipeline)")
+    p.add_argument("--asr_temperature", type=str, default=None,
+                   help="comma list of whisper decode temperatures "
+                        "(whisper.transcribe's `temperature` option; default "
+                        "the full 0,0.2,..,1.0 fallback ladder; '0' pins "
+                        "greedy-only, used by smoke tests)")
 
 
 def add_tpu_flags(p: argparse.ArgumentParser):
@@ -118,8 +123,11 @@ def add_tpu_flags(p: argparse.ArgumentParser):
     p.add_argument("--remat", type=str, default="layer",
                    choices=["none", "block", "layer", "nested"])
     p.add_argument("--flash_attention", default=False, action="store_true")
-    p.add_argument("--fused_train", default=False, action="store_true",
-                   help="fused Pallas fwd+bwd transformer stacks (~2x step time)")
+    p.add_argument("--fused_train", default=None, action="store_true",
+                   help="force the fused Pallas fwd+bwd transformer stacks "
+                        "(~2x faster steps; the DEFAULT on TPU backends)")
+    p.add_argument("--no_fused_train", dest="fused_train", action="store_false",
+                   help="force the plain XLA train path (the default off-TPU)")
     p.add_argument("--no_aligned_buckets", dest="aligned_buckets",
                    default=True, action="store_false",
                    help="disable lane-aligned train buckets (exact reference cap)")
@@ -129,6 +137,15 @@ def add_tpu_flags(p: argparse.ArgumentParser):
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--debug_tiny_model", default=False, action="store_true",
                    help="scaled-down model (fast CI/smoke; NOT ckpt-compatible)")
+    p.add_argument("--allow_stub_nets", default=False, action="store_true",
+                   help="permit TRAINING with stub external nets (hash LLM / "
+                        "spectral speaker encoder / byte tokenizer); without "
+                        "this (or --synthetic_smoke) training refuses stubs")
+    p.add_argument("--llama_int8", default=False, action="store_true",
+                   help="load the frozen Llama with int8 weight-only "
+                        "quantization (8B fits one v5e chip; <1e-2 hidden-"
+                        "state error, the encoder is frozen so training is "
+                        "unaffected)")
 
 
 def parse_train_args(argv=None) -> argparse.Namespace:

@@ -3,7 +3,10 @@
 The reference's inference-only pipeline (``test_cascaded.py:145-295``):
 1. base Sepformer separates the mixture into num_spks streams;
 2. each stream is resampled 8k->16k, peak-normed 0.9, transcribed by
-   Whisper-base;
+   Whisper-base under the full ``whisper.transcribe`` default policy
+   (temperature fallback on compression-ratio/logprob gates, best-of-5
+   sampling, silence skip, language auto-detection — ``test_cascaded.py:224``
+   passes no options, so the defaults are the contract);
 3. Llama-3-8B scores ``context + transcript``; the per-stream score is the
    mean over transcript positions of the per-position MAX log-softmax —
    faithfully reproducing the reference's quirk of scoring the argmax token,
@@ -28,7 +31,16 @@ from cse_tpu.ops.resample import resample
 class CascadedSelector:
     def __init__(self, asr, scorer, tokenizer, whisper_tokenizer=None, sr: int = 8000):
         """asr: WhisperASR; scorer: callable(ids, mask)->logits [B,T,V] or None;
-        tokenizer: llama tokenizer (HF or ByteTokenizer)."""
+        tokenizer: llama tokenizer (HF or ByteTokenizer).
+
+        ctx_scorer CONTRACT: ``_lm_score`` left-pads inputs to a 128-multiple
+        bucket with mask 0, so the scorer MUST be padding-invariant — logits
+        at unmasked positions may not depend on masked-pad length. The
+        built-in RoPE Llama satisfies this (arange positions + key-padding
+        mask); a scorer with absolute/learned positions or without mask
+        handling would make scores bucket-size-dependent and silently change
+        stream selection.
+        """
         self.asr = asr
         self.scorer = scorer
         self.tok = tokenizer
@@ -87,10 +99,12 @@ class CascadedSelector:
         cand16, _ = resample(jnp.asarray(candidates_8k), self.sr, 16000)
         peak = jnp.max(jnp.abs(cand16), axis=-1, keepdims=True)
         cand16 = cand16 / jnp.maximum(peak, 1e-9) * 0.9
-        toks, lens = self.asr.transcribe_tokens(cand16)
+        results = self.asr.transcribe_results(cand16)
         transcripts, scores = [], []
         for s in range(n):
-            text = self._decode_text(toks[s, : int(lens[s])])
+            # silence skip: whisper.transcribe emits no segment, so the
+            # stream's transcript is empty text
+            text = "" if results[s]["silent"] else self._decode_text(results[s]["tokens"])
             transcripts.append(text)
             scores.append(self._lm_score(context, text))
         return int(np.argmax(scores)), transcripts, scores
@@ -102,6 +116,7 @@ def build_cascaded(
     tokenizer,
     sr: int = 8000,
     ctx_scorer=None,
+    asr_temperatures: tuple | None = None,
 ):
     """Assemble the cascade from locally-available assets (stubs otherwise)."""
     from cse_tpu.models.whisper import WhisperASR
@@ -132,8 +147,16 @@ def build_cascaded(
     except Exception:
         wtok = None
 
+    # language=None auto-detects per stream, matching the reference's
+    # option-free transcribe() call; text_fn feeds real text to the
+    # compression-ratio gate when tokenizer assets exist
+    from cse_tpu.models.whisper import TRANSCRIBE_TEMPERATURES
+
     asr = WhisperASR(
-        weights_path=weights_path, suppress_ids=_non_speech_ids(wtok)
+        weights_path=weights_path, suppress_ids=_non_speech_ids(wtok),
+        language=None,
+        text_fn=(lambda ids: wtok.decode(ids)) if wtok is not None else None,
+        temperatures=asr_temperatures or TRANSCRIBE_TEMPERATURES,
     )
     if weights_path is None:
         asr.is_stub = True

@@ -10,9 +10,17 @@ architecture (Radford et al. 2022):
   decoder: tok emb + learned pos -> N pre-LN layers (causal self-attn +
   cross-attn) -> LN -> logits = emb^T
 
-Decode is greedy at temperature 0 (whisper.transcribe's first candidate) as a
-single ``lax.while_loop`` with a preallocated KV cache — static shapes, one
-compile, batch-friendly. Weights import from the OpenAI ``base.pt`` layout;
+Decode runs as a single ``lax.while_loop`` with a preallocated KV cache —
+static shapes, one compile, batch-friendly — and implements the FULL
+``whisper.transcribe`` default policy (``transcribe.py`` defaults mirrored at
+``test_cascaded.py:224``): greedy at temperature 0 first, then sampled
+retries at T = 0.2, 0.4, 0.6, 0.8, 1.0 (``best_of=5`` candidates, ranked by
+sum-logprob / length) whenever the compression ratio exceeds 2.4 or the
+average logprob falls below −1.0; segments whose ``<|nospeech|>`` probability
+exceeds 0.6 while the avg logprob stays below −1.0 are treated as silence.
+Language is auto-detected from the first decoder step when not pinned.
+Temperature and the PRNG key are traced, so one compiled program covers the
+whole temperature ladder. Weights import from the OpenAI ``base.pt`` layout;
 without them the module runs with random weights for pipeline tests.
 """
 
@@ -282,30 +290,18 @@ def _attn_cached(q, k, v, n_head, bias):
     return out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_tokens", "suppress_ids"))
-def whisper_greedy_decode(
-    params: dict,
-    mel: jnp.ndarray,
-    cfg: WhisperConfig,
-    max_tokens: int = 224,
-    language_token: int | None = None,
-    suppress_ids: tuple = (),
-):
-    """Greedy transcription. Returns (tokens [B, max_tokens], lengths [B]).
+# GPT-2-family single-token encoding of " " — whisper's SuppressBlank bars it
+# (alongside EOT) at the first content position.
+_SPACE_TOKEN = 220
+# whisper multilingual tokenizers carry 99 language tokens, contiguous from
+# <|en|> (50259) up to (but excluding) <|translate|> (50358)
+_N_LANGUAGES = 99
 
-    Prompt = [SOT, lang, transcribe, notimestamps] (whisper.transcribe with
-    temperature 0, timestamps suppressed); stops at EOT per sequence.
 
-    Logit suppression mirrors whisper's decode filters: control tokens and
-    (in notimestamps mode) all timestamp tokens never sample, EOT is barred
-    at the first content position (SuppressBlank), and ``suppress_ids`` adds
-    the tokenizer-derived non-speech set when its assets are available.
-    """
-    B = mel.shape[0]
-    audio = whisper_encode(params, mel, cfg)  # [B, 1500, D]
-
-    # static -inf mask over never-sampled tokens (whisper SuppressTokens +
-    # the timestamp range, since the prompt pins <|notimestamps|>)
+def _suppress_masks(cfg: WhisperConfig, suppress_ids: tuple):
+    """(never_mask, first_mask): whisper's SuppressTokens + the timestamp
+    range (the prompt pins <|notimestamps|>), and SuppressBlank — the space
+    token and EOT barred at the first content position."""
     never = np.zeros(cfg.n_vocab, np.float32)
     control = [cfg.sot, cfg.token_translate, cfg.token_transcribe,
                cfg.token_sot_prev, cfg.token_nospeech, cfg.token_notimestamps]
@@ -315,21 +311,64 @@ def whisper_greedy_decode(
     for t in suppress_ids:
         if 0 <= t < cfg.n_vocab:
             never[t] = -np.inf
-    never_mask = jnp.asarray(never)
-    # SuppressBlank: no immediate EOT at the first content position
-    first_mask = jnp.zeros(cfg.n_vocab).at[cfg.eot].set(-jnp.inf)
+    first = np.zeros(cfg.n_vocab, np.float32)
+    first[cfg.eot] = -np.inf
+    if _SPACE_TOKEN < cfg.n_vocab:
+        first[_SPACE_TOKEN] = -np.inf
+    return jnp.asarray(never), jnp.asarray(first)
 
-    # precompute cross-attention K/V per layer
+
+def _cross_kv(params: dict, audio: jnp.ndarray, cfg: WhisperConfig) -> dict:
     ak, av = [], []
     for li in range(cfg.n_text_layer):
         lp = jax.tree.map(lambda a: a[li], params["dec_layers"])
         ak.append(audio @ lp["cross"]["k_w"])
         av.append(audio @ lp["cross"]["v_w"] + lp["cross"]["v_b"])
-    audio_kv = {"k": jnp.stack(ak), "v": jnp.stack(av)}
+    return {"k": jnp.stack(ak), "v": jnp.stack(av)}
 
-    lang = cfg.token_lang_en if language_token is None else language_token
-    prompt = jnp.asarray([cfg.sot, lang, cfg.token_transcribe, cfg.token_notimestamps])
-    P = prompt.shape[0]
+
+@partial(jax.jit, static_argnames=("cfg", "max_tokens", "suppress_ids"))
+def whisper_decode(
+    params: dict,
+    mel: jnp.ndarray,
+    cfg: WhisperConfig,
+    language_tokens: jnp.ndarray,
+    temperature: jnp.ndarray,
+    key: jnp.ndarray,
+    max_tokens: int = 224,
+    suppress_ids: tuple = (),
+):
+    """One decode pass at a (traced) temperature.
+
+    Prompt = [SOT, lang, transcribe, notimestamps] per row; stops at EOT.
+    ``temperature == 0`` takes the argmax (whisper GreedyDecoder with t=0);
+    ``temperature > 0`` samples from softmax(logits / t) — both live in one
+    compiled program so the transcribe fallback ladder never recompiles.
+
+    Returns (tokens [B, max_tokens], lengths [B], sum_logprob [B],
+    no_speech_prob [B]):
+    - ``sum_logprob`` accumulates log-softmax(filtered logits)[chosen] over
+      the sampled tokens INCLUDING the terminating EOT, exactly whisper's
+      ``sum_logprobs += current_logprobs * (tokens[:, -1] != eot)``;
+      avg_logprob = sum_logprob / (length + 1) on the host.
+    - ``no_speech_prob`` is softmax(raw logits at the SOT step)[<|nospeech|>]
+      (whisper reads it at the SOT index of the initial forward).
+    """
+    B = mel.shape[0]
+    audio = whisper_encode(params, mel, cfg)  # [B, 1500, D]
+    never_mask, first_mask = _suppress_masks(cfg, suppress_ids)
+    audio_kv = _cross_kv(params, audio, cfg)
+
+    prompt = jnp.stack(
+        [
+            jnp.full((B,), cfg.sot, jnp.int32),
+            language_tokens.astype(jnp.int32),
+            jnp.full((B,), cfg.token_transcribe, jnp.int32),
+            jnp.full((B,), cfg.token_notimestamps, jnp.int32),
+        ],
+        axis=1,
+    )  # [B, 4]
+    P = prompt.shape[1]
 
     D = cfg.n_text_state
     kv0 = {
@@ -337,20 +376,32 @@ def whisper_greedy_decode(
         "v": jnp.zeros((cfg.n_text_layer, B, cfg.n_text_ctx, D), audio.dtype),
     }
     out0 = jnp.full((B, max_tokens), cfg.eot, jnp.int32)
+    temperature = jnp.asarray(temperature, jnp.float32)
 
     def cond(state):
-        i, _, _, _, done = state
+        i = state[0]
+        done = state[4]
         return (i < P + max_tokens - 1) & (~jnp.all(done))
 
     def body(state):
-        i, tok, kv, out, done = state
-        logits, kv = _decoder_step(params, cfg, tok, i, kv, audio_kv)
-        logits = logits + never_mask
+        i, tok, kv, out, done, sum_lp, nsp = state
+        raw, kv = _decoder_step(params, cfg, tok, i, kv, audio_kv)
+        nsp = jnp.where(
+            i == 0, jax.nn.softmax(raw, axis=-1)[:, cfg.token_nospeech], nsp
+        )
+        logits = raw + never_mask
         logits = jnp.where(i + 1 == P, logits + first_mask, logits)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        sampled = jax.random.categorical(
+            jax.random.fold_in(key, i), logits / jnp.maximum(temperature, 1e-6)
+        ).astype(jnp.int32)
+        nxt = jnp.where(temperature > 0, sampled, greedy)
         in_prompt = i + 1 < P
-        nxt = jnp.where(in_prompt, jnp.full_like(nxt, prompt[jnp.minimum(i + 1, P - 1)]), nxt)
+        nxt = jnp.where(in_prompt, prompt[:, jnp.minimum(i + 1, P - 1)], nxt)
+        take = (~in_prompt) & (~done)
         nxt = jnp.where(done & ~in_prompt, cfg.eot, nxt)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        sum_lp = sum_lp + jnp.where(take, logp[jnp.arange(B), nxt], 0.0)
         out = jax.lax.cond(
             in_prompt,
             lambda o: o,
@@ -358,7 +409,7 @@ def whisper_greedy_decode(
             out,
         )
         done = done | (~in_prompt & (nxt == cfg.eot))
-        return i + 1, nxt, kv, out, done
+        return i + 1, nxt, kv, out, done, sum_lp, nsp
 
     state = (
         jnp.asarray(0),
@@ -366,11 +417,57 @@ def whisper_greedy_decode(
         kv0,
         out0,
         jnp.zeros((B,), bool),
+        jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B,), jnp.float32),
     )
-    _, _, _, out, _ = jax.lax.while_loop(cond, body, state)
+    _, _, _, out, _, sum_lp, nsp = jax.lax.while_loop(cond, body, state)
     lengths = jnp.argmax(out == cfg.eot, axis=-1)
     lengths = jnp.where(jnp.any(out == cfg.eot, axis=-1), lengths, max_tokens)
-    return out, lengths
+    return out, lengths, sum_lp, nsp
+
+
+def whisper_greedy_decode(
+    params: dict,
+    mel: jnp.ndarray,
+    cfg: WhisperConfig,
+    max_tokens: int = 224,
+    language_token: int | None = None,
+    suppress_ids: tuple = (),
+):
+    """Greedy transcription (temperature-0 first candidate of the transcribe
+    policy). Returns (tokens [B, max_tokens], lengths [B])."""
+    lang = cfg.token_lang_en if language_token is None else language_token
+    toks, lens, _, _ = whisper_decode(
+        params, mel, cfg,
+        jnp.full((mel.shape[0],), lang, jnp.int32),
+        jnp.asarray(0.0), jax.random.PRNGKey(0),
+        max_tokens=max_tokens, suppress_ids=suppress_ids,
+    )
+    return toks, lens
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def whisper_detect_language(params: dict, mel: jnp.ndarray, cfg: WhisperConfig):
+    """whisper's ``detect_language``: one decoder step on [SOT], logits
+    restricted to the 99 language tokens. Returns (lang_token [B],
+    probs [B, n_vocab] softmax over the restricted logits)."""
+    B = mel.shape[0]
+    audio = whisper_encode(params, mel, cfg)
+    audio_kv = _cross_kv(params, audio, cfg)
+    D = cfg.n_text_state
+    kv0 = {
+        "k": jnp.zeros((cfg.n_text_layer, B, cfg.n_text_ctx, D), audio.dtype),
+        "v": jnp.zeros((cfg.n_text_layer, B, cfg.n_text_ctx, D), audio.dtype),
+    }
+    logits, _ = _decoder_step(
+        params, cfg, jnp.full((B,), cfg.sot, jnp.int32), jnp.asarray(0), kv0, audio_kv
+    )
+    lang_lo = cfg.token_lang_en
+    lang_hi = min(cfg.token_lang_en + _N_LANGUAGES, cfg.n_vocab)
+    mask = np.full(cfg.n_vocab, -np.inf, np.float32)
+    mask[lang_lo:lang_hi] = 0.0
+    logits = logits + jnp.asarray(mask)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), jax.nn.softmax(logits, axis=-1)
 
 
 # ---- weight import (OpenAI whisper checkpoint layout) ----------------------
@@ -488,13 +585,76 @@ def random_whisper_params(cfg: WhisperConfig, seed: int = 0) -> dict:
     }
 
 
+# ---- transcribe policy (whisper.transcribe defaults) ----------------------
+
+# whisper.transcribe defaults: temperature=(0, .2, .4, .6, .8, 1.0),
+# compression_ratio_threshold=2.4, logprob_threshold=-1.0,
+# no_speech_threshold=0.6, best_of=5 (sampling only)
+TRANSCRIBE_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+COMPRESSION_RATIO_THRESHOLD = 2.4
+LOGPROB_THRESHOLD = -1.0
+NO_SPEECH_THRESHOLD = 0.6
+BEST_OF = 5
+
+
+def compression_ratio(text: str) -> float:
+    """whisper.utils.compression_ratio: utf-8 bytes / zlib-compressed bytes.
+    High values mean degenerate repetition loops."""
+    import zlib
+
+    data = text.encode("utf-8")
+    return len(data) / len(zlib.compress(data))
+
+
+def needs_fallback(avg_logprob: float, cr: float, no_speech_prob: float) -> bool:
+    """whisper.transcribe's retry gate (transcribe.py decode_with_fallback):
+    retry when too repetitive (cr > 2.4) or too unlikely (avg lp < -1.0),
+    EXCEPT when the segment looks like silence (nospeech prob > 0.6 with the
+    low logprob) — silence doesn't improve with temperature."""
+    fb = False
+    if cr > COMPRESSION_RATIO_THRESHOLD:
+        fb = True
+    if avg_logprob < LOGPROB_THRESHOLD:
+        fb = True
+    if no_speech_prob > NO_SPEECH_THRESHOLD:
+        fb = False
+    return fb
+
+
+def is_silent(avg_logprob: float, no_speech_prob: float) -> bool:
+    """whisper.transcribe's segment-skip rule: nospeech prob above threshold
+    unless a confident logprob overrides it."""
+    skip = no_speech_prob > NO_SPEECH_THRESHOLD
+    if avg_logprob > LOGPROB_THRESHOLD:
+        skip = False
+    return skip
+
+
 class WhisperASR:
-    """Batch transcriber: wav [B, T]@16k -> list of token-id lists."""
+    """Batch transcriber: wav [B, T]@16k -> token ids / transcribe results.
+
+    ``transcribe_tokens`` is the plain greedy pass; ``transcribe_results``
+    runs the full whisper.transcribe default policy (temperature fallback,
+    best-of-5 sampling, silence skip, optional language detection) around the
+    single compiled decode program. ``language=None`` auto-detects per row
+    like ``whisper.load_model("base").transcribe(sample)`` at
+    ``/root/reference/test_cascaded.py:224``.
+    """
 
     def __init__(self, weights_path: str | None = None, cfg: WhisperConfig | None = None,
-                 params: dict | None = None, suppress_ids: tuple = ()):
+                 params: dict | None = None, suppress_ids: tuple = (),
+                 language: str | None = "en", text_fn=None, seed: int = 0,
+                 temperatures: tuple = TRANSCRIBE_TEMPERATURES,
+                 best_of: int = BEST_OF):
         self.cfg = cfg or WhisperConfig()
         self.suppress_ids = tuple(sorted(set(int(t) for t in suppress_ids)))
+        self.language = language
+        self.text_fn = text_fn  # token ids -> text, for compression ratio
+        self.seed = seed
+        # whisper.transcribe's `temperature` / `best_of` decode options —
+        # (0.0,) pins greedy-only (what smoke tests use on stub weights)
+        self.temperatures = tuple(float(t) for t in temperatures)
+        self.best_of = int(best_of)
         if params is None and weights_path is not None:
             import torch
 
@@ -506,12 +666,101 @@ class WhisperASR:
             params = random_whisper_params(self.cfg)
         self.params = jax.tree.map(jnp.asarray, params)
 
+    def _mel(self, wav16k: jnp.ndarray) -> jnp.ndarray:
+        window = self.cfg.n_audio_ctx * 2 * _WHISPER_HOP
+        if wav16k.shape[-1] > window:
+            raise ValueError(
+                f"input of {wav16k.shape[-1]} samples exceeds the "
+                f"{window}-sample ({window / 16000:.0f} s) single-window "
+                "decode this transcriber implements; the reference eval "
+                "protocol only produces <=30 s utterances"
+            )
+        return whisper_log_mel(wav16k, self.cfg.n_mels, n_frames=self.cfg.n_audio_ctx * 2)
+
+    def _language_tokens(self, mel: jnp.ndarray) -> jnp.ndarray:
+        if self.language is None:
+            lang, _ = whisper_detect_language(self.params, mel, self.cfg)
+            return lang
+        # only 'en' ships a pinned id here; other pins would need tokenizer
+        # assets to map code -> token, which the cascade doesn't use
+        return jnp.full((mel.shape[0],), self.cfg.token_lang_en, jnp.int32)
+
     def transcribe_tokens(self, wav16k: jnp.ndarray, max_tokens: int = 224):
-        mel = whisper_log_mel(
-            wav16k, self.cfg.n_mels, n_frames=self.cfg.n_audio_ctx * 2
-        )
-        toks, lens = whisper_greedy_decode(
-            self.params, mel, self.cfg, max_tokens=max_tokens,
-            suppress_ids=self.suppress_ids,
+        mel = self._mel(wav16k)
+        toks, lens, _, _ = whisper_decode(
+            self.params, mel, self.cfg, self._language_tokens(mel),
+            jnp.asarray(0.0), jax.random.PRNGKey(self.seed),
+            max_tokens=max_tokens, suppress_ids=self.suppress_ids,
         )
         return np.asarray(toks), np.asarray(lens)
+
+    def _text(self, ids: np.ndarray) -> str:
+        if self.text_fn is not None:
+            return self.text_fn(ids)
+        # no tokenizer assets: a stable pseudo-text over ids preserves the
+        # repetition structure zlib measures (documented approximation)
+        return " ".join(f"w{int(t)}" for t in ids)
+
+    def transcribe_results(self, wav16k: jnp.ndarray, max_tokens: int = 224):
+        """Full whisper.transcribe default policy over a batch of <=30 s rows.
+
+        Returns a list of per-row dicts: ``tokens`` (np.int32, trimmed),
+        ``text`` (via ``text_fn`` when provided), ``avg_logprob``,
+        ``compression_ratio``, ``no_speech_prob``, ``temperature`` (the rung
+        that produced the accepted result), and ``silent``. whisper retries
+        each 30 s segment independently; rows here are independent segments,
+        so re-decoding the batch and accepting per row is behaviorally
+        identical per row.
+        """
+        mel = self._mel(wav16k)
+        B = mel.shape[0]
+        lang = self._language_tokens(mel)
+        results: list[dict | None] = [None] * B
+        pending = list(range(B))
+        temperatures = self.temperatures
+        for ti, t in enumerate(temperatures):
+            if t == 0.0:
+                toks, lens, slp, nsp = whisper_decode(
+                    self.params, mel, self.cfg, lang,
+                    jnp.asarray(0.0), jax.random.PRNGKey(self.seed),
+                    max_tokens=max_tokens, suppress_ids=self.suppress_ids,
+                )
+                toks, lens, slp, nsp = map(np.asarray, (toks, lens, slp, nsp))
+            else:
+                # best_of=5: tile rows, sample, rank by sum_logprob / length
+                # (MaximumLikelihoodRanker with length_penalty=None)
+                k = self.best_of
+                mel5 = jnp.repeat(mel, k, axis=0)
+                toks5, lens5, slp5, nsp5 = whisper_decode(
+                    self.params, mel5, self.cfg, jnp.repeat(lang, k, axis=0),
+                    jnp.asarray(t), jax.random.PRNGKey(self.seed * 1000 + ti),
+                    max_tokens=max_tokens, suppress_ids=self.suppress_ids,
+                )
+                toks5, lens5, slp5, nsp5 = map(np.asarray, (toks5, lens5, slp5, nsp5))
+                score = slp5 / np.maximum(lens5, 1)
+                pick = score.reshape(B, k).argmax(axis=1) + np.arange(B) * k
+                toks, lens, slp, nsp = toks5[pick], lens5[pick], slp5[pick], nsp5[pick]
+            still = []
+            for b in pending:
+                n = int(lens[b])
+                ids = toks[b, :n]
+                avg_lp = float(slp[b]) / (n + 1)
+                cr = compression_ratio(self._text(ids))
+                res = {
+                    "tokens": ids,
+                    "text": self._text(ids) if self.text_fn is not None else None,
+                    "avg_logprob": avg_lp,
+                    "compression_ratio": cr,
+                    "no_speech_prob": float(nsp[b]),
+                    "temperature": t,
+                    "silent": is_silent(avg_lp, float(nsp[b])),
+                }
+                results[b] = res
+                if needs_fallback(avg_lp, cr, float(nsp[b])) and ti + 1 < len(
+                    temperatures
+                ):
+                    still.append(b)
+            pending = still
+            if not pending:
+                break
+        return results

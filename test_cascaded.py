@@ -21,6 +21,7 @@ from cse_tpu.compat.torch_import import (
     infer_reference_config,
     sepformer_from_state_dict,
 )
+from cse_tpu.core.banner import announce_assets
 from cse_tpu.core.flags import parse_test_args
 from cse_tpu.data.pipeline import EvalLoader, PipelineConfig
 from cse_tpu.data.tokenizer import load_tokenizer
@@ -62,8 +63,18 @@ def main():
 
     tokenizer = load_tokenizer(args.llama_path, args.llama_auth_token)
     whisper_path = getattr(args, "whisper_path", None) or os.environ.get("WHISPER_BASE_PT")
-    cascade = build_cascaded(args.llama_path, whisper_path, tokenizer, sr=args.sr)
+    temps = None
+    if args.asr_temperature:
+        temps = tuple(float(t) for t in args.asr_temperature.split(","))
+    cascade = build_cascaded(
+        args.llama_path, whisper_path, tokenizer, sr=args.sr,
+        asr_temperatures=temps,
+    )
     print(f"[cse_tpu] cascaded stages: {cascade.describe()}")
+    announce_assets(
+        "test", args, tokenizer=tokenizer, whisper=cascade.asr,
+        llm=type("ScorerStatus", (), {"is_stub": cascade.scorer is None})(),
+    )
 
     paths = _corpus_paths(args)
     pcfg = PipelineConfig(

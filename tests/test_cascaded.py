@@ -57,7 +57,8 @@ def test_lm_score_quirk(tiny_llama_scorer):
 
 def test_select_runs_end_to_end(tiny_llama_scorer, rng):
     sel = CascadedSelector(
-        WhisperASR(cfg=TINY_WHISPER), tiny_llama_scorer.score_logits,
+        WhisperASR(cfg=TINY_WHISPER, temperatures=(0.0,)),
+        tiny_llama_scorer.score_logits,
         ByteTokenizer(), sr=8000,
     )
     cands = rng.standard_normal((2, 8000)).astype(np.float32)

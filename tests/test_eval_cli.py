@@ -82,6 +82,8 @@ def test_eval_cli_cascaded(tmp_path, monkeypatch):
     res = _run_cli(
         "test_cascaded",
         COMMON + ["--batch_size", "1", "--num_test_mix", "2",
+                  "--asr_temperature", "0",  # greedy rung only: the full
+                  # fallback ladder on random stub weights retries every row
                   "--save_dir", str(tmp_path)],
         monkeypatch,
     )

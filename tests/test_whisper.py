@@ -323,3 +323,259 @@ def test_importer_roundtrip(rng):
         jnp.zeros((1, cfg.n_audio_ctx * 2 * 160)), max_tokens=4
     )
     assert toks.shape == (1, 4)
+
+
+# ---------------------------------------------------------------------------
+# whisper.transcribe default policy (temperature fallback / gates / language)
+# ---------------------------------------------------------------------------
+
+
+def _peaked_params(cfg=TINY, win_token=1234):
+    """dec_ln scale 0 + dominant tok_emb row => every step emits win_token
+    with near-certain probability (a degenerate repetition loop)."""
+    params = random_whisper_params(cfg)
+    D = cfg.n_text_state
+    b = np.linspace(0.5, 1.5, D).astype(np.float32)
+    params["dec_ln"] = {"scale": np.zeros(D, np.float32), "bias": b}
+    params["tok_emb"] = params["tok_emb"] * 0.001
+    params["tok_emb"][win_token] = 10.0 * b
+    return jax.tree.map(jnp.asarray, params)
+
+
+def test_sum_logprob_matches_teacher_forcing(rng):
+    """In-loop sum_logprob == independent teacher-forced recomputation with
+    the same suppression masks (including the terminating EOT's logprob)."""
+    from cse_tpu.models.whisper import (
+        _cross_kv, _decoder_step, _suppress_masks, whisper_decode,
+        whisper_encode,
+    )
+
+    params = jax.tree.map(jnp.asarray, random_whisper_params(TINY))
+    mel = _mel(rng, 2)
+    toks, lens, slp, _ = whisper_decode(
+        params, mel, TINY,
+        jnp.full((2,), TINY.token_lang_en, jnp.int32),
+        jnp.asarray(0.0), jax.random.PRNGKey(0), max_tokens=6,
+    )
+    toks, lens, slp = map(np.asarray, (toks, lens, slp))
+
+    audio = whisper_encode(params, mel, TINY)
+    audio_kv = _cross_kv(params, audio, TINY)
+    never, first = _suppress_masks(TINY, ())
+    kv = {
+        "k": jnp.zeros((TINY.n_text_layer, 2, TINY.n_text_ctx, TINY.n_text_state)),
+        "v": jnp.zeros((TINY.n_text_layer, 2, TINY.n_text_ctx, TINY.n_text_state)),
+    }
+    prompt = [TINY.sot, TINY.token_lang_en, TINY.token_transcribe, TINY.token_notimestamps]
+    want = np.zeros(2)
+    done = np.zeros(2, bool)
+    seq = [np.full(2, p) for p in prompt] + [toks[:, j] for j in range(toks.shape[1])]
+    for i in range(len(seq) - 1):
+        logits, kv = _decoder_step(
+            params, TINY, jnp.asarray(seq[i], jnp.int32), jnp.asarray(i), kv, audio_kv
+        )
+        logits = logits + never
+        if i + 1 == len(prompt):
+            logits = logits + first
+        lp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        if i + 1 >= len(prompt):
+            nxt = seq[i + 1]
+            for b in range(2):
+                if not done[b]:
+                    want[b] += lp[b, nxt[b]]
+                    if nxt[b] == TINY.eot:
+                        done[b] = True
+    np.testing.assert_allclose(slp, want, rtol=1e-4, atol=1e-4)
+
+
+def test_no_speech_prob_matches_first_step(rng):
+    """no_speech_prob == softmax(RAW first-step logits)[<|nospeech|>]."""
+    from cse_tpu.models.whisper import (
+        _cross_kv, _decoder_step, whisper_decode, whisper_encode,
+    )
+
+    params = jax.tree.map(jnp.asarray, random_whisper_params(TINY))
+    mel = _mel(rng, 2)
+    _, _, _, nsp = whisper_decode(
+        params, mel, TINY, jnp.full((2,), TINY.token_lang_en, jnp.int32),
+        jnp.asarray(0.0), jax.random.PRNGKey(0), max_tokens=4,
+    )
+    audio = whisper_encode(params, mel, TINY)
+    audio_kv = _cross_kv(params, audio, TINY)
+    kv = {
+        "k": jnp.zeros((TINY.n_text_layer, 2, TINY.n_text_ctx, TINY.n_text_state)),
+        "v": jnp.zeros((TINY.n_text_layer, 2, TINY.n_text_ctx, TINY.n_text_state)),
+    }
+    logits, _ = _decoder_step(
+        params, TINY, jnp.full((2,), TINY.sot, jnp.int32), jnp.asarray(0), kv, audio_kv
+    )
+    want = np.asarray(jax.nn.softmax(logits, axis=-1))[:, TINY.token_nospeech]
+    np.testing.assert_allclose(np.asarray(nsp), want, rtol=1e-5, atol=1e-6)
+
+
+def test_sampled_decode_deterministic_and_t0_limit(rng):
+    """Same key => identical samples; temperature->0 recovers greedy."""
+    from cse_tpu.models.whisper import whisper_decode
+
+    params = jax.tree.map(jnp.asarray, random_whisper_params(TINY))
+    mel = _mel(rng, 2)
+    lang = jnp.full((2,), TINY.token_lang_en, jnp.int32)
+    a = whisper_decode(params, mel, TINY, lang, jnp.asarray(1.0),
+                       jax.random.PRNGKey(7), max_tokens=6)
+    b = whisper_decode(params, mel, TINY, lang, jnp.asarray(1.0),
+                       jax.random.PRNGKey(7), max_tokens=6)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    tiny_t = whisper_decode(params, mel, TINY, lang, jnp.asarray(1e-5),
+                            jax.random.PRNGKey(7), max_tokens=6)
+    greedy = whisper_decode(params, mel, TINY, lang, jnp.asarray(0.0),
+                            jax.random.PRNGKey(7), max_tokens=6)
+    np.testing.assert_array_equal(np.asarray(tiny_t[0]), np.asarray(greedy[0]))
+
+
+def test_detect_language_restricted_and_argmax(rng):
+    """detect_language only ever returns a language token, and returns the
+    engineered winner when one language embedding dominates."""
+    from cse_tpu.models.whisper import _N_LANGUAGES, whisper_detect_language
+
+    win = TINY.token_lang_en + 11
+    params = _peaked_params(win_token=win)
+    lang, probs = whisper_detect_language(params, _mel(rng, 2), TINY)
+    lang = np.asarray(lang)
+    assert (lang == win).all(), lang
+    assert (lang >= TINY.token_lang_en).all()
+    assert (lang < TINY.token_lang_en + _N_LANGUAGES).all()
+    p = np.asarray(probs)
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-5)
+    assert p[:, : TINY.token_lang_en].max() == 0.0  # mass only on languages
+
+    # random params: still restricted to the language range
+    params2 = jax.tree.map(jnp.asarray, random_whisper_params(TINY))
+    lang2, _ = whisper_detect_language(params2, _mel(rng, 1), TINY)
+    assert TINY.token_lang_en <= int(lang2[0]) < TINY.token_lang_en + _N_LANGUAGES
+
+
+# -- policy gates vs an independent oracle of whisper/transcribe.py ---------
+
+
+def _oracle_transcribe_policy(candidates, crt=2.4, lpt=-1.0, nst=0.6):
+    """Literal restatement of openai-whisper transcribe.py's
+    decode_with_fallback + segment-skip control flow: iterate the temperature
+    ladder, retry while too-repetitive or too-unlikely (silence exempt),
+    then decide the skip flag from no_speech_prob with the logprob override.
+    candidates: {temperature: (avg_logprob, compression_ratio, no_speech_prob)}.
+    Returns (accepted_temperature, skipped)."""
+    temps = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    decode_result = None
+    for t in temps:
+        decode_result = candidates[t]
+        avg_logprob, cr, no_speech_prob = decode_result
+        needs_fb = False
+        if crt is not None and cr > crt:
+            needs_fb = True
+        if lpt is not None and avg_logprob < lpt:
+            needs_fb = True
+        if nst is not None and no_speech_prob > nst:
+            needs_fb = False
+        if not needs_fb:
+            return t, _oracle_skip(avg_logprob, no_speech_prob, lpt, nst)
+    avg_logprob, _, no_speech_prob = decode_result
+    return temps[-1], _oracle_skip(avg_logprob, no_speech_prob, lpt, nst)
+
+
+def _oracle_skip(avg_logprob, no_speech_prob, lpt, nst):
+    should_skip = no_speech_prob > nst
+    if lpt is not None and avg_logprob > lpt:
+        should_skip = False
+    return should_skip
+
+
+def test_policy_gates_match_oracle():
+    """needs_fallback/is_silent reproduce the oracle on a grid straddling
+    every threshold (cr 2.4, avg_lp -1.0, nospeech 0.6)."""
+    from cse_tpu.models.whisper import (
+        TRANSCRIBE_TEMPERATURES, is_silent, needs_fallback,
+    )
+
+    grid_lp = [-3.0, -1.01, -1.0, -0.99, -0.2]
+    grid_cr = [1.0, 2.39, 2.4, 2.41, 9.0]
+    grid_ns = [0.0, 0.59, 0.6, 0.61, 0.99]
+    rng = np.random.default_rng(0)
+    for lp0 in grid_lp:
+        for cr0 in grid_cr:
+            for ns0 in grid_ns:
+                # a random candidate per rung; rung 0 takes the grid point
+                cands = {0.0: (lp0, cr0, ns0)}
+                for t in TRANSCRIBE_TEMPERATURES[1:]:
+                    cands[t] = (
+                        float(rng.uniform(-3, 0)),
+                        float(rng.uniform(1, 4)),
+                        float(rng.uniform(0, 1)),
+                    )
+                want_t, want_skip = _oracle_transcribe_policy(cands)
+                # drive our gate functions through the same ladder
+                got_t = None
+                for i, t in enumerate(TRANSCRIBE_TEMPERATURES):
+                    lp, cr, ns = cands[t]
+                    if not needs_fallback(lp, cr, ns) or i + 1 == len(
+                        TRANSCRIBE_TEMPERATURES
+                    ):
+                        got_t = t
+                        break
+                lp, _, ns = cands[got_t]
+                assert got_t == want_t, (lp0, cr0, ns0)
+                assert is_silent(lp, ns) == want_skip, (lp0, cr0, ns0)
+
+
+def test_fallback_fires_on_degenerate_repetition(rng):
+    """A decoder stuck in a high-confidence repetition loop (cr >> 2.4 with
+    avg_lp ~ 0) must trigger the temperature ladder; the accepted result
+    carries temperature > 0 — VERDICT r2 'do this' #1's done-criterion."""
+    params = _peaked_params(win_token=1234)
+    asr = WhisperASR(params=jax.tree.map(np.asarray, params), cfg=TINY)
+    wav = jnp.asarray(rng.standard_normal((1, TINY.n_audio_ctx * 2 * 160)).astype(np.float32))
+    res = asr.transcribe_results(wav, max_tokens=24)[0]
+    assert res["temperature"] > 0.0, res
+    # and the greedy rung really was degenerate repetition
+    toks0, lens0 = asr.transcribe_tokens(wav, max_tokens=24)
+    assert (toks0[0, : int(lens0[0])] == 1234).all()
+
+
+def test_silence_overrides_fallback(rng):
+    """High <|nospeech|> probability + low avg logprob: no retries (silence
+    is exempt from fallback) and the row is flagged silent, at t=0."""
+    params = _peaked_params(win_token=TINY.token_nospeech)
+    asr = WhisperASR(params=jax.tree.map(np.asarray, params), cfg=TINY)
+    wav = jnp.asarray(rng.standard_normal((1, TINY.n_audio_ctx * 2 * 160)).astype(np.float32))
+    res = asr.transcribe_results(wav, max_tokens=8)[0]
+    assert res["no_speech_prob"] > 0.99
+    assert res["temperature"] == 0.0  # never retried
+    assert res["silent"] is True
+    assert res["avg_logprob"] < -1.0
+
+
+def test_transcribe_rejects_over_window_input():
+    asr = WhisperASR(params=jax.tree.map(np.asarray, random_whisper_params(TINY)), cfg=TINY)
+    too_long = jnp.zeros((1, TINY.n_audio_ctx * 2 * 160 + 1))
+    with pytest.raises(ValueError, match="single-window"):
+        asr.transcribe_tokens(too_long)
+
+
+def test_cascaded_silent_stream_empty_transcript(rng):
+    """CascadedSelector maps a silent stream to an empty transcript and a
+    -1e9 LM score (whisper.transcribe emits no segment for silence)."""
+    from cse_tpu.eval.cascaded import CascadedSelector
+
+    params = _peaked_params(win_token=TINY.token_nospeech)
+    asr = WhisperASR(params=jax.tree.map(np.asarray, params), cfg=TINY)
+
+    class _ByteTok:
+        is_fallback = True
+
+        def encode(self, s):
+            return [0] + [int(b) for b in s.encode()]
+
+    sel = CascadedSelector(asr, None, _ByteTok(), sr=8000)
+    cand = rng.standard_normal((2, 16000)).astype(np.float32)
+    best, transcripts, scores = sel.select(cand, "hello there")
+    assert transcripts == ["", ""]
+    assert all(s == -1e9 for s in scores)
