@@ -38,14 +38,20 @@ def main():
                     help="measure inference RTF with the fused serving engine instead")
     ap.add_argument("--with_llm", action="store_true",
                     help="include the frozen Llama-3-8B context prefill in the "
-                         "step (reference train_ContSep.py:379-384). The 8B "
-                         "model does not fit one v5e core, so the prefill is "
-                         "measured at the EXACT 8B layer shape (4096/14336, "
-                         "32q/8kv heads) over 8 of 32 layers and scaled x4 — "
-                         "per-layer math is identical, so the extrapolation "
-                         "is exact up to the embed lookup")
+                         "step (reference train_ContSep.py:379-384), MEASURED "
+                         "on the full 32-layer 8B shape (4096/14336, 32q/8kv "
+                         "heads) with int8 weight-only quantization (~7.7 GB, "
+                         "fits one v5e chip; <1e-2 hidden-state error vs bf16 "
+                         "— tests/test_llama.py)")
     ap.add_argument("--ctx_tokens", type=int, default=512,
                     help="context length for --with_llm (left-padded)")
+    ap.add_argument("--mesh_data", type=int, default=None,
+                    help="run the step data-parallel over an N-device mesh "
+                         "(global batch = --batch x N; reports per-chip "
+                         "throughput). On a 1-chip box combine with --smoke "
+                         "and XLA_FLAGS=--xla_force_host_platform_device_"
+                         "count=N JAX_PLATFORMS=cpu for a compile-only "
+                         "dryrun; on a real slice this measures DP scaling")
     args = ap.parse_args()
 
     if args.smoke:
@@ -77,17 +83,31 @@ def main():
     rng = np.random.default_rng(0)
     if args.infer:
         return _bench_infer(args, cfg, model, B, T)
+    mesh = None
+    n_chips = 1
+    if args.mesh_data:
+        # DP over an n-device mesh, exactly the trainers' sharded step
+        # (train/step.py:156-166): batch sharded on 'data', params replicated
+        from cse_tpu.core.mesh import make_mesh
+
+        n_chips = args.mesh_data
+        mesh = make_mesh(n_data=n_chips)
+        B = B * n_chips  # global batch; per-chip share stays --batch
     gt = rng.standard_normal((B, T)).astype(np.float32)
     batch = {
         "mixed": jnp.asarray(0.7 * gt + 0.3 * rng.standard_normal((B, T)).astype(np.float32)),
         "gt": jnp.asarray(gt),
         "ctx_feat": jnp.asarray(rng.standard_normal((B, 1, cfg.llm_dim)).astype(np.float32)),
     }
-    params = model.init(jax.random.key(0), batch["mixed"][:, :2000], batch["ctx_feat"])
+    if mesh is not None:
+        from cse_tpu.core.mesh import shard_batch
+
+        batch = shard_batch(batch, mesh)
+    params = model.init(jax.random.key(0), batch["mixed"][:2, :2000], batch["ctx_feat"][:2])
     tx = build_optimizer(cosine_warmup_schedule(1.5e-4, 500000, 10000))
     opt_state = tx.init(params)
     step = make_train_step(
-        model, tx, TrainConfig(variant="context"), fused=not args.smoke
+        model, tx, TrainConfig(variant="context"), mesh=mesh, fused=not args.smoke
     )
 
     key = jax.random.key(1)
@@ -107,20 +127,21 @@ def main():
     if args.with_llm:
         prefill_s = _time_llm_prefill(B, args.ctx_tokens, args.steps)
         dt += prefill_s * args.steps
-        llm_note = ", + extrapolated 8B prefill %.0f ms/step @ %d tokens" % (
+        llm_note = ", + measured int8 8B prefill %.0f ms/step @ %d tokens" % (
             prefill_s * 1e3, args.ctx_tokens)
 
-    mixtures_per_sec = B * args.steps / dt
+    mixtures_per_sec = B * args.steps / dt / n_chips
     audio_s_per_s = mixtures_per_sec * T / args.sr
     ref_audio_s = REF_MIXTURES_PER_SEC_PER_GPU * 16.0  # per A100, 16 s clips
+    dp_note = "" if mesh is None else ", DP x%d (global batch %d)" % (n_chips, B)
     print(
         json.dumps(
             {
                 "metric": "train_throughput_contextual_extraction"
                 + ("_with_llm" if args.with_llm else ""),
                 "value": round(mixtures_per_sec, 3),
-                "unit": "mixtures/s/chip (%.3fs@8kHz, bf16, batch %d; %.1f audio-s/s%s)"
-                % (T / args.sr, B, audio_s_per_s, llm_note),
+                "unit": "mixtures/s/chip (%.3fs@8kHz, bf16, batch %d%s; %.1f audio-s/s%s)"
+                % (T / args.sr, B // n_chips, dp_note, audio_s_per_s, llm_note),
                 "vs_baseline": round(audio_s_per_s / ref_audio_s, 3),
             }
         )
@@ -128,22 +149,21 @@ def main():
 
 
 def _time_llm_prefill(B: int, T: int, steps: int) -> float:
-    """Measured per-step cost of the frozen Llama-3-8B context prefill,
-    extrapolated from 8 layers at the exact 8B layer shape (x4).
+    """MEASURED per-step cost of the frozen Llama-3-8B context prefill on the
+    full 32-layer 8B shape, int8 weight-only quantized (~6.6 GB layers +
+    bf16 embed, no LM head — the encoder returns hidden states).
 
     The reference pays ``LlamaModel(fp16)`` on every train step
-    (``train_ContSep.py:379-380``); 8B bf16 (~16 GB) exceeds one v5e core's
-    HBM, so deployment shards it over the ``model`` mesh axis while this
-    single-chip bench measures 8 identical layers and scales. The embed
-    lookup and final norm run at full size, so only the 24 missing layers
-    are extrapolated.
+    (``train_ContSep.py:379-380``). bf16 8B (~16 GB) exceeds one v5e core's
+    HBM, but the int8 weight-only form fits, so this is a direct single-chip
+    measurement (no layer extrapolation); the deployment path for bf16
+    remains TP over the ``model`` mesh axis.
     """
     from cse_tpu.models.llama import LlamaConfig, llama_forward, random_llama_params
 
-    n_meas = 8
-    full = LlamaConfig()
-    cfg = LlamaConfig(**{**full.__dict__, "num_hidden_layers": n_meas})
-    params = random_llama_params(cfg, dtype=jnp.bfloat16, seed=0)
+    cfg = LlamaConfig()
+    params = random_llama_params(cfg, dtype=jnp.bfloat16, seed=0, quant="int8")
+    del params["lm_head"]  # hidden-state encoder only (train_ContSep.py:380)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
     mask = jnp.ones((B, T), jnp.int32)
@@ -153,8 +173,7 @@ def _time_llm_prefill(B: int, T: int, steps: int) -> float:
     for _ in range(steps):
         out = fwd(params, ids, mask)
     float(jnp.sum(out.astype(jnp.float32)))
-    per_step = (time.perf_counter() - t0) / steps
-    return per_step * (full.num_hidden_layers / n_meas)
+    return (time.perf_counter() - t0) / steps
 
 
 def _bench_infer(args, cfg, model, B, T):

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 class HashProjectionEncoder:
     """Deterministic random-feature embedding of token ids (llm stand-in)."""
 
+    is_stub = True
+
     def __init__(self, dim: int = 4096, ctx_length: int = 1, seed: int = 0):
         self.dim = dim
         self.ctx_length = ctx_length
@@ -69,10 +71,12 @@ def build_context_encoder(
     auth_token: str | None = None,
     mesh=None,
     force_stub: bool = False,
+    quant: str | None = None,
 ):
     """Return the best available encoder callable (Llama if local, else stub)."""
     if not force_stub and llama_weights_available(llama_path):
         from cse_tpu.models.llama import LlamaContextEncoder
 
-        return LlamaContextEncoder(llama_path, ctx_length=ctx_length, mesh=mesh)
+        return LlamaContextEncoder(llama_path, ctx_length=ctx_length, mesh=mesh,
+                                   quant=quant)
     return HashProjectionEncoder(dim=dim, ctx_length=ctx_length)

@@ -14,8 +14,14 @@ TPU-native choices:
 * tensor parallelism = sharding annotations on the stacked params
   (heads/ffn split over the ``model`` mesh axis); XLA inserts the
   all-reduces. An 8B model in bf16 (~16 GB) does not fit one v5e core, so
-  multi-chip TP/DP sharding is the deployment path; a 1B/3B variant or the
-  hash stub serves single-chip development.
+  multi-chip TP/DP sharding is the bf16 deployment path; alternatively
+  ``quant="int8"`` stores the seven stacked layer matrices as per-output-
+  channel int8 (~8.7 GB total with bf16 embed/head), which DOES fit one
+  chip — the model is frozen, so weight-only quantization is loss-free to
+  train through and <1e-2 relative error on hidden states. Dequantization
+  happens inside the matmul (int8 -> bf16 convert fused into the MXU
+  operand read; the per-channel scale multiplies the output), never as a
+  materialized full-precision copy of the weights.
 * positions are ``arange`` over the padded sequence (matching HF's behavior
   for a plain forward with left padding, which is what the reference calls).
 
@@ -75,6 +81,34 @@ def _rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
+def _mm(h: jnp.ndarray, w) -> jnp.ndarray:
+    """h @ w for either a plain array or an int8 weight-only dict
+    {"w": int8 [din, dout], "s": f32 [1, dout]} (dequant-in-matmul: the int8
+    operand converts to the activation dtype on read and the per-output-
+    channel scale is applied to the product — algebraically identical to
+    h @ (w * s) because s is constant along the contraction axis)."""
+    if isinstance(w, dict):
+        return (h @ w["w"].astype(h.dtype)) * w["s"].astype(h.dtype)
+    return h @ w
+
+
+def quantize_llama_params(params: dict) -> dict:
+    """Per-output-channel symmetric int8 quantization of the seven stacked
+    layer matrices (q/k/v/o/gate/up/down); embeddings, norms, and the LM head
+    stay in their float dtype. Each [L, din, dout] weight becomes
+    {"w": int8, "s": f32 [L, 1, dout]} with s = max|w| / 127 per column."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        w = np.asarray(layers[name], np.float32)
+        s = np.max(np.abs(w), axis=1, keepdims=True) / 127.0  # [L, 1, dout]
+        s = np.maximum(s, 1e-12)
+        q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        layers[name] = {"w": q, "s": s.astype(np.float32)}
+    out["layers"] = layers
+    return out
+
+
 def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     """Rotary embedding, HF half-split convention. x: [B, H, T, dh]."""
     dh = x.shape[-1]
@@ -106,9 +140,9 @@ def llama_forward(
 
     def layer(x, lp):
         h = _rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-        q = (h @ lp["q"]).reshape(B, T, H, dh).transpose(0, 2, 1, 3)
-        k = (h @ lp["k"]).reshape(B, T, KV, dh).transpose(0, 2, 1, 3)
-        v = (h @ lp["v"]).reshape(B, T, KV, dh).transpose(0, 2, 1, 3)
+        q = _mm(h, lp["q"]).reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+        k = _mm(h, lp["k"]).reshape(B, T, KV, dh).transpose(0, 2, 1, 3)
+        v = _mm(h, lp["v"]).reshape(B, T, KV, dh).transpose(0, 2, 1, 3)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
         if KV != H:  # grouped-query: repeat kv heads
@@ -120,10 +154,10 @@ def llama_forward(
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
-        x = x + attn @ lp["o"]
+        x = x + _mm(attn, lp["o"])
         h = _rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(h @ lp["gate"])
-        x = x + (gate * (h @ lp["up"])) @ lp["down"]
+        gate = jax.nn.silu(_mm(h, lp["gate"]))
+        x = x + _mm(gate * _mm(h, lp["up"]), lp["down"])
         return x, None
 
     x, _ = jax.lax.scan(layer, x, params["layers"])
@@ -139,8 +173,14 @@ def llama_forward(
 # --------------------------------------------------------------------------
 
 
-def load_llama_params(path: str, dtype=jnp.bfloat16, mesh=None) -> tuple[dict, LlamaConfig]:
-    """Load a local HF Llama checkout into the stacked-scan param layout."""
+def load_llama_params(
+    path: str, dtype=jnp.bfloat16, mesh=None, quant: str | None = None
+) -> tuple[dict, LlamaConfig]:
+    """Load a local HF Llama checkout into the stacked-scan param layout.
+
+    ``quant="int8"`` quantizes the stacked layer matrices at load time
+    (per-output-channel symmetric int8), shrinking 8B from ~16 GB to ~8.7 GB
+    so the frozen encoder fits a single v5e chip."""
     from safetensors import safe_open
 
     cfg = LlamaConfig.from_json(path)
@@ -175,10 +215,19 @@ def load_llama_params(path: str, dtype=jnp.bfloat16, mesh=None) -> tuple[dict, L
     if not cfg.tie_word_embeddings and "lm_head.weight" in tensors:
         params["lm_head"] = get("lm_head.weight").T
 
+    if quant == "int8":
+        params = quantize_llama_params(params)
+    elif quant is not None:
+        raise ValueError(f"unknown quant mode {quant!r} (only 'int8')")
+
     shardings = llama_shardings(mesh) if mesh is not None else None
 
     def put(pth, x):
-        x = jnp.asarray(x, dtype)
+        # int8 payloads and their f32 scales keep their dtypes; everything
+        # else casts to the requested compute dtype
+        keys = [getattr(p, "key", None) for p in pth]
+        keep = x.dtype == np.int8 or keys[-1] == "s"
+        x = jnp.asarray(x) if keep else jnp.asarray(x, dtype)
         if shardings is None:
             return x
         return jax.device_put(x, _lookup(shardings, pth))
@@ -221,20 +270,30 @@ def _lookup(tree: dict, path) -> NamedSharding:
     return node
 
 
-def random_llama_params(cfg: LlamaConfig, dtype=jnp.float32, mesh=None, seed: int = 0) -> dict:
-    """Random-init params in the stacked layout (tests / sharding dryruns)."""
+def random_llama_params(cfg: LlamaConfig, dtype=jnp.float32, mesh=None, seed: int = 0,
+                        quant: str | None = None) -> dict:
+    """Random-init params in the stacked layout (tests / sharding dryruns).
+
+    ``quant="int8"`` emits the quantized layout directly (int8 payloads +
+    f32 scales) without materializing full-precision weights first — used by
+    the bench to stand up the full 32-layer 8B shape on one chip."""
     rng = np.random.default_rng(seed)
     D, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
     H, KV, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     def w(*shape, scale=None):
         scale = scale or 1.0 / np.sqrt(shape[-2] if len(shape) > 1 else shape[0])
+        if quant == "int8" and len(shape) == 3:
+            return {
+                "w": rng.integers(-127, 128, shape, dtype=np.int8),
+                "s": np.full((shape[0], 1, shape[2]), scale / 42.0, np.float32),
+            }
         return (rng.standard_normal(shape) * scale).astype(np.float32)
 
     params = {
-        "embed": w(cfg.vocab_size, D, scale=0.02),
+        "embed": (rng.standard_normal((cfg.vocab_size, D)) * 0.02).astype(np.float32),
         "final_ln": np.ones(D, np.float32),
-        "lm_head": w(D, cfg.vocab_size),
+        "lm_head": (rng.standard_normal((D, cfg.vocab_size)) / np.sqrt(D)).astype(np.float32),
         "layers": {
             "input_ln": np.ones((L, D), np.float32),
             "post_ln": np.ones((L, D), np.float32),
@@ -250,7 +309,9 @@ def random_llama_params(cfg: LlamaConfig, dtype=jnp.float32, mesh=None, seed: in
     shardings = llama_shardings(mesh) if mesh is not None else None
 
     def put(pth, x):
-        x = jnp.asarray(x, dtype)
+        keys = [getattr(p, "key", None) for p in pth]
+        keep = x.dtype == np.int8 or keys[-1] == "s"
+        x = jnp.asarray(x) if keep else jnp.asarray(x, dtype)
         return x if shardings is None else jax.device_put(x, _lookup(shardings, pth))
 
     return jax.tree_util.tree_map_with_path(lambda p, x: put(p, x), params)
@@ -264,8 +325,11 @@ class LlamaContextEncoder:
     ``train_ContExt.py:362``); left padding puts those at the sequence end.
     """
 
-    def __init__(self, path: str, ctx_length: int = 1, dtype=jnp.bfloat16, mesh=None):
-        self.params, self.cfg = load_llama_params(path, dtype=dtype, mesh=mesh)
+    is_stub = False
+
+    def __init__(self, path: str, ctx_length: int = 1, dtype=jnp.bfloat16, mesh=None,
+                 quant: str | None = None):
+        self.params, self.cfg = load_llama_params(path, dtype=dtype, mesh=mesh, quant=quant)
         self.ctx_length = ctx_length
         self._fwd = jax.jit(
             partial(llama_forward, cfg=self.cfg), static_argnames=("return_logits",)

@@ -25,7 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from cse_tpu.compat.torch_import import sepformer_from_state_dict
-from cse_tpu.core.mesh import distributed_init_if_needed, make_mesh, shard_batch
+from cse_tpu.core.banner import announce_assets
+from cse_tpu.core.mesh import (
+    distributed_init_if_needed, is_tpu_backend, make_mesh, shard_batch,
+)
 from cse_tpu.data import datasets as ds
 from cse_tpu.data.pipeline import EvalLoader, PipelineConfig, TrainLoader, prefetch
 from cse_tpu.data.tokenizer import load_tokenizer
@@ -173,6 +176,7 @@ def train_net(args, variant: str):
             ctx_length=args.ctx_length if variant != "contsep" else 1,
             auth_token=args.llama_auth_token,
             mesh=mesh,
+            quant="int8" if getattr(args, "llama_int8", False) else None,
         )
 
     model, tcfg = build_model(args, variant)
@@ -181,6 +185,17 @@ def train_net(args, variant: str):
         from cse_tpu.models.speaker_encoder import configure_speaker_encoder
 
         configure_speaker_encoder(args.ecapa_path)
+
+    # loud real-vs-stub banner + train-on-stubs refusal (base variant uses
+    # no external nets: the context column is loaded but never conditioned on)
+    nets = {}
+    if variant != "base":
+        nets["tokenizer"] = tokenizer
+        nets["llm"] = llm
+    if variant == "hcontext":
+        nets["ecapa_path"] = getattr(args, "ecapa_path", "")
+    if nets:
+        announce_assets("train", args, **nets)
 
     files = ds.build_train_list(paths, args.train_data)
     print(f"[cse_tpu] {len(files)} training utterances ({args.train_data})")
@@ -274,9 +289,15 @@ def train_net(args, variant: str):
                     )
                     opt_state = set_plateau_scale(opt_state, plateau.scale)
 
+    # fused Pallas train path: default ON for TPU backends (the benched
+    # configuration IS the shipped default), OFF elsewhere; --fused_train /
+    # --no_fused_train force either way
+    fused_flag = getattr(args, "fused_train", None)
+    fused = fused_flag if fused_flag is not None else is_tpu_backend()
+    print(f"[cse_tpu] train path: {'fused-pallas' if fused else 'xla'}"
+          + (" (auto)" if fused_flag is None else " (forced)"))
     train_step = make_train_step(
-        model, tx, tcfg, mesh=mesh, llm_apply=llm,
-        fused=getattr(args, "fused_train", False),
+        model, tx, tcfg, mesh=mesh, llm_apply=llm, fused=fused,
     )
     eval_step = make_eval_step(model, tcfg, llm_apply=llm)
 

@@ -23,6 +23,7 @@ from cse_tpu.data.pipeline import EvalLoader, PipelineConfig
 from cse_tpu.data.tokenizer import load_tokenizer
 from cse_tpu.eval.evaluator import evaluate
 from cse_tpu.models import Sepformer, SepformerConfig
+from cse_tpu.core.banner import announce_assets
 from cse_tpu.models.context_encoder import build_context_encoder
 from cse_tpu.train import checkpoint as ckpt_lib
 from cse_tpu.train.loop import _corpus_paths, setup_synthetic
@@ -82,7 +83,9 @@ def main():
         args.llama_path,
         ctx_length=1 if mcfg.variant == "contsep" else args.ctx_length,
         auth_token=args.llama_auth_token,
+        quant="int8" if args.llama_int8 else None,
     )
+    announce_assets("test", args, tokenizer=tokenizer, llm=llm)
     tcfg = TrainConfig(
         variant="contsep" if mcfg.variant == "contsep" else "context",
         num_spks=mcfg.num_spks, use_ce=mcfg.ce,

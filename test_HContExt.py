@@ -19,6 +19,7 @@ from cse_tpu.data.tokenizer import load_tokenizer
 from cse_tpu.eval.enrollment import eval_enrollment_embeddings
 from cse_tpu.eval.evaluator import evaluate
 from cse_tpu.models import Sepformer, SepformerConfig
+from cse_tpu.core.banner import announce_assets
 from cse_tpu.models.context_encoder import build_context_encoder
 from cse_tpu.models.speaker_encoder import configure_speaker_encoder
 from cse_tpu.train import checkpoint as ckpt_lib
@@ -59,7 +60,10 @@ def main():
         configure_speaker_encoder(args.ecapa_path)
     tokenizer = load_tokenizer(args.llama_path, args.llama_auth_token)
     llm = build_context_encoder(args.llama_path, ctx_length=args.ctx_length,
-                                auth_token=args.llama_auth_token)
+                                auth_token=args.llama_auth_token,
+                                quant="int8" if args.llama_int8 else None)
+    announce_assets("test", args, tokenizer=tokenizer, llm=llm,
+                    ecapa_path=args.ecapa_path)
     tcfg = TrainConfig(variant="hcontext", num_spks=args.num_max_mix)
     eval_step = make_eval_step(model, tcfg, llm_apply=llm, cue=args.cue)
 

@@ -97,3 +97,58 @@ def test_tensor_parallel_matches_single(tiny_llama):
     )
     m = mask.astype(bool)
     np.testing.assert_allclose(out[m], ref[m], rtol=1e-4, atol=1e-4)
+
+
+def test_int8_quantized_hidden_states_close(tiny_llama):
+    """int8 weight-only vs full-precision: hidden-state relative error < 1e-2
+    on valid positions (VERDICT r2 'do this' #2's done-criterion), and the
+    int8 leaves really are int8 with f32 per-output-channel scales."""
+    _, path = tiny_llama
+    params, cfg = load_llama_params(path, dtype=jnp.float32)
+    qparams, _ = load_llama_params(path, dtype=jnp.float32, quant="int8")
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        leaf = qparams["layers"][name]
+        assert leaf["w"].dtype == jnp.int8
+        assert leaf["s"].dtype == jnp.float32
+        assert leaf["s"].shape == (leaf["w"].shape[0], 1, leaf["w"].shape[2])
+    assert qparams["embed"].dtype == jnp.float32  # embed/head not quantized
+
+    ids, mask = _inputs()
+    full = np.asarray(llama_forward(params, jnp.asarray(ids), jnp.asarray(mask), cfg))
+    q = np.asarray(llama_forward(qparams, jnp.asarray(ids), jnp.asarray(mask), cfg))
+    m = mask.astype(bool)
+    rel = np.linalg.norm(q[m] - full[m]) / np.linalg.norm(full[m])
+    assert rel < 1e-2, rel
+
+
+def test_int8_matches_explicit_dequant(tiny_llama):
+    """Dequant-in-matmul == forward with explicitly dequantized (w*s) float
+    weights: the fused form must be algebra, not approximation."""
+    _, path = tiny_llama
+    qparams, cfg = load_llama_params(path, dtype=jnp.float32, quant="int8")
+    deq = dict(qparams)
+    deq["layers"] = {
+        k: (
+            np.asarray(v["w"], np.float32) * np.asarray(v["s"])
+            if isinstance(v, dict)
+            else v
+        )
+        for k, v in qparams["layers"].items()
+    }
+    deq["layers"] = jax.tree.map(jnp.asarray, deq["layers"])
+    ids, mask = _inputs()
+    a = np.asarray(llama_forward(qparams, jnp.asarray(ids), jnp.asarray(mask), cfg))
+    b = np.asarray(llama_forward(deq, jnp.asarray(ids), jnp.asarray(mask), cfg))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_context_encoder_and_scorer(tiny_llama):
+    """The encoder/scorer surfaces accept quant='int8' end to end."""
+    _, path = tiny_llama
+    enc = LlamaContextEncoder(path, ctx_length=2, dtype=jnp.float32, quant="int8")
+    ids, mask = _inputs()
+    out = enc(jnp.asarray(ids), jnp.asarray(mask))
+    assert out.shape == (2, 2, 32)
+    logits = enc.score_logits(jnp.asarray(ids), jnp.asarray(mask))
+    assert logits.shape == (2, 6, 128)
+    assert np.isfinite(np.asarray(logits)).all()
