@@ -19,6 +19,17 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def is_tpu_backend() -> bool:
+    """True when the default devices are TPU cores (incl. the axon tunnel
+    platform, whose device_kind reports 'TPU ...'). Drives the fused-Pallas
+    train path default: on by default on TPU, off elsewhere."""
+    try:
+        d = jax.devices()[0]
+    except RuntimeError:
+        return False
+    return d.platform in ("tpu", "axon") or "tpu" in getattr(d, "device_kind", "").lower()
+
+
 def make_mesh(
     n_data: int | None = None,
     n_model: int = 1,

@@ -183,3 +183,49 @@ def test_fused_loss_other_variants(rng, variant):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4, err_msg=str(ka)
         )
+
+
+def test_fused_vs_xla_loss_trajectory_50_steps(rng):
+    """N-step (50) trajectory equivalence at bf16: full optimizer-in-the-loop
+    training with the fused Pallas path tracks the XLA path step for step
+    (max relative deviation < 5e-2) and both curves actually descend — the
+    evidence required to ship fused as the default trainer (VERDICT r2
+    'do this' #3)."""
+    import jax
+    from cse_tpu.models import Sepformer, SepformerConfig
+    from cse_tpu.train.optimizer import build_optimizer
+    from cse_tpu.train.schedules import cosine_warmup_schedule
+    from cse_tpu.train.step import TrainConfig, make_train_step
+
+    cfg = SepformerConfig(
+        variant="context", num_spks=2, enc_channels=32, enc_kernel=8,
+        enc_stride=4, d_model=32, nhead=4, d_ffn=64, num_tf_layers=2,
+        num_dp_layers=1, chunk_size=16, llm_dim=24, pe_max_len=256,
+        compute_dtype=jnp.bfloat16,
+    )
+    model = Sepformer(cfg)
+    B, T, N = 2, 400, 50
+    batch = {
+        "mixed": jnp.asarray(rng.standard_normal((B, T)).astype(np.float32)),
+        "gt": jnp.asarray(rng.standard_normal((B, T)).astype(np.float32)),
+        "ctx_feat": jnp.asarray(rng.standard_normal((B, 1, 24)).astype(np.float32)),
+    }
+    params0 = model.init(jax.random.key(0), batch["mixed"], batch["ctx_feat"])
+    tx = build_optimizer(cosine_warmup_schedule(1e-3, 1000, 10))
+    curves = {}
+    for fused in (False, True):
+        step = make_train_step(model, tx, TrainConfig(variant="context"), fused=fused)
+        p = jax.tree.map(lambda x: x.copy(), params0)  # steps donate their inputs
+        opt = tx.init(p)
+        losses = []
+        for i in range(N):
+            p, opt, m = step(p, opt, batch, jax.random.key(1 + i))
+            losses.append(float(m["loss"]))
+        curves[fused] = np.asarray(losses)
+    xla, fus = curves[False], curves[True]
+    assert np.isfinite(xla).all() and np.isfinite(fus).all()
+    dev = np.abs(xla - fus) / (1.0 + np.abs(xla))
+    assert dev.max() < 5e-2, (dev.max(), dev.argmax())
+    # both curves must actually train (same single batch => loss collapses)
+    assert xla[-5:].mean() < 0.5 * xla[:5].mean()
+    assert fus[-5:].mean() < 0.5 * fus[:5].mean()
