@@ -12,6 +12,7 @@ length passed to the speaker encoder's masking.
 from __future__ import annotations
 
 import os
+import zlib
 
 import jax.numpy as jnp
 import numpy as np
@@ -32,7 +33,6 @@ def eval_enrollment_embeddings(
 ) -> jnp.ndarray:
     """[B] eval batch -> speaker embeddings [B, 1, 192]."""
     enroll: list[np.ndarray] = []
-    rng = np.random.default_rng(seed)
     for k in range(len(batch["names"])):
         wav16 = None
         if not one_sec and corpus in ("tedlium", "dailytalk"):
@@ -44,7 +44,13 @@ def eval_enrollment_embeddings(
         if wav16 is None:
             # 1-second crop of the 16 kHz gt (spokenwoz / --one_sec rule);
             # the crop may not run into the zero-padded tail of the buffer,
-            # so its VALID extent is bounded by the gt's true length
+            # so its VALID extent is bounded by the gt's true length.
+            # Crop offsets are seeded per ITEM (utterance name folded into
+            # the seed), so every item draws a distinct-but-reproducible
+            # offset instead of batch row k replaying one global sequence
+            rng = np.random.default_rng(
+                (seed, zlib.crc32(str(batch["names"][k]).encode()))
+            )
             gt = np.asarray(batch["gt16k"][k])
             n = int(batch["gt16k_len"][k])
             st = int(rng.integers(0, max(n - 16000, 0) + 1))

@@ -56,10 +56,14 @@ bool read_wav_file(const char* path, WavData* out) {
       data.resize(size);
       size_t got = std::fread(data.data(), 1, size, f);
       data.resize(got);
-      break;
+      if (sr) break;  // fmt already seen: done
+      // data chunk BEFORE fmt (legal): keep scanning for the trailing fmt
+      if (got < size) break;
+      if (size & 1) std::fseek(f, 1, SEEK_CUR);  // RIFF pad byte
     } else {
       std::fseek(f, size + (size & 1), SEEK_CUR);
     }
+    if (sr && !data.empty()) break;
   }
   std::fclose(f);
   if (!sr || !channels || data.empty()) return false;
@@ -169,6 +173,9 @@ int64_t cse_wav_info(const char* path, int32_t* sr_out) {
       uint64_t avail = (end > pos) ? static_cast<uint64_t>(end - pos) : 0;
       data_size = (size < avail) ? size : avail;
       have_data = true;
+      // restore the position past this chunk so a (legal) layout with the
+      // data chunk BEFORE fmt can still find the trailing fmt chunk
+      std::fseek(f, pos + static_cast<long>(size + (size & 1)), SEEK_SET);
     } else {
       std::fseek(f, size + (size & 1), SEEK_CUR);
     }

@@ -61,3 +61,30 @@ def test_batch_load_missing_file(built, tmp_path, rng):
     buf = np.zeros((2, 4000), np.float32)
     lens, srs = audio_native.batch_load(paths, buf)
     assert lens[0] > 0 and lens[1] == 0
+
+
+def test_wav_info_data_chunk_before_fmt(built, tmp_path):
+    """A legal WAV with the data chunk ahead of fmt must still probe: the
+    scanner restores the stream position after measuring the data extent
+    (ADVICE r2: the old EOF-measuring fseek broke the trailing fmt scan)."""
+    import struct
+
+    sr, n = 8000, 1234
+    pcm = (np.zeros(n)).astype("<i2").tobytes()
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+    body = data + fmt
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    p = str(tmp_path / "data_first.wav")
+    with open(p, "wb") as f:
+        f.write(blob)
+    import ctypes
+
+    lib = audio_native._load()
+    got_sr = ctypes.c_int32(0)
+    frames = lib.cse_wav_info(p.encode(), ctypes.byref(got_sr))
+    assert got_sr.value == sr
+    assert frames == n
+    # and the full decode agrees
+    x, rsr = audio_native.read_wav(p)
+    assert rsr == sr and len(x) == n
