@@ -16,6 +16,7 @@ import numpy as np
 from cse_tpu.data.pipeline import EvalLoader
 from cse_tpu.data.audio_io import write_wav
 from cse_tpu.eval.metrics import SdrMetric, SiSnrMetric, si_snr_numpy
+from cse_tpu.eval.pesq import PesqMetric
 
 
 def evaluate(
@@ -33,6 +34,7 @@ def evaluate(
 ) -> dict:
     m_sisnr, m_sisnr_prev = SiSnrMetric(), SiSnrMetric()
     m_sdr, m_sdr_prev = SdrMetric(), SdrMetric()
+    m_pesq, m_pesq_prev = PesqMetric(), PesqMetric()
     accs: list[np.ndarray] = []
 
     total = len(loader)
@@ -55,6 +57,10 @@ def evaluate(
         m_sdr.update(enhanced, gt)
         m_sisnr_prev.update(mixed, gt)
         m_sdr_prev.update(mixed, gt)
+        # PESQ on the valid extent only (padding would dilute the score)
+        row_lens = batch.get("sp_len")
+        m_pesq.update(enhanced, gt, lengths=row_lens)
+        m_pesq_prev.update(mixed, gt, lengths=row_lens)
 
         ok = np.ones(len(enhanced), np.int32)
         gt_score = si_snr_numpy(enhanced, gt)
@@ -74,6 +80,11 @@ def evaluate(
         "sdr": m_sdr.compute(),
         "si_snr_i": m_sisnr.compute() - m_sisnr_prev.compute(),
         "sdr_i": m_sdr.compute() - m_sdr_prev.compute(),
+        # P.862-scale PESQ (narrowband, 8 kHz) — spec reimplementation,
+        # property-validated (eval/pesq.py docstring); BASELINE.json's
+        # target metric set names PESQ next to SI-SDRi
+        "pesq": m_pesq.compute(),
+        "pesq_i": m_pesq.compute() - m_pesq_prev.compute(),
         "acc": float(np.mean(np.concatenate(accs))) if accs else 0.0,
         "n": seen,
     }
@@ -82,6 +93,7 @@ def evaluate(
         print(f"## Test SDR ({test_dataset}): ", results["sdr"])
         print(f"## Test SI-SNR-I ({test_dataset}): ", results["si_snr_i"])
         print(f"## Test SDR-I ({test_dataset}): ", results["sdr_i"])
+        print(f"## Test PESQ-p862 ({test_dataset}): ", results["pesq"])
     if save_dir is not None:
         out = os.path.join(save_dir, dir_name)
         os.makedirs(out, exist_ok=True)
@@ -90,6 +102,8 @@ def evaluate(
             f.write(f"Test SDR: {results['sdr']}\n")
             f.write(f"Test SI-SNR-I: {results['si_snr_i']}\n")
             f.write(f"Test SDR-I: {results['sdr_i']}\n")
+            f.write(f"Test PESQ-p862: {results['pesq']}\n")
+            f.write(f"Test PESQ-p862-I: {results['pesq_i']}\n")
         with open(os.path.join(out, f"acc_{test_dataset}.txt"), "w") as f:
             f.write(f"{results['acc']:.4f}\n")
     return results

@@ -1,0 +1,267 @@
+"""PESQ (ITU-T P.862, narrowband 8 kHz) — host-side float64 reimplementation.
+
+The north-star metric set names PESQ next to SI-SDRi (BASELINE.json: "match
+reference SI-SDRi/PESQ"); the reference code itself never computes it
+(``/root/reference/test.py:198-201`` reports SI-SNR/SDR only), so this module
+adds the missing column to the eval protocol.
+
+This is a from-the-spec reimplementation of the P.862 narrowband perceptual
+model: level alignment to a fixed active-band power, IRS-receive-style
+band-pass weighting, envelope cross-correlation time alignment, 32 ms Hann
+frames -> Bark-band pitch powers, partial frequency- and gain-compensation,
+Zwicker-law loudness, center-clipped symmetric + asymmetric disturbances,
+L6-over-frames / L2-over-splits aggregation and the published score map
+PESQ = 4.5 - 0.1*D - 0.0309*DA (plus the P.862.1 MOS-LQO mapping).
+
+VALIDATION CAVEAT (documented deliberately): the ITU conformance vectors and
+the reference C implementation are not available in this zero-egress image,
+so this implementation is validated by the model's structural properties
+(identity -> 4.5; strict monotonicity under decreasing SNR; invariance to
+level offsets and to alignable delays; known degradations rank correctly)
+rather than by bit-exact comparison — see ``tests/test_pesq.py``. Scores are
+therefore "P.862-scale", suitable for relative comparisons across systems
+evaluated by THIS framework, and the result files label the column
+``pesq_p862`` to keep that provenance visible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SR = 8000
+_FRAME = 256  # 32 ms
+_HOP = 128  # 50% overlap
+_NBARK = 42  # narrowband Bark resolution
+_TARGET_POWER = 1e7  # active-band alignment level
+_ZWICKER_POWER = 0.23
+_ABS_THRESH_SCALE = 1e4
+
+
+def _bark(f: np.ndarray) -> np.ndarray:
+    """Zwicker's critical-band rate (traditional analytic form)."""
+    f = np.asarray(f, np.float64)
+    return 13.0 * np.arctan(0.00076 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
+
+
+def _band_edges() -> np.ndarray:
+    """42 bands uniform in Bark over the 100-4000 Hz NB band, in Hz."""
+    z = np.linspace(_bark(100.0), _bark(4000.0), _NBARK + 1)
+    # invert bark numerically (monotone)
+    fs = np.linspace(0.0, 4000.0, 4001)
+    return np.interp(z, _bark(fs), fs)
+
+
+_EDGES = _band_edges()
+_CENTERS = 0.5 * (_EDGES[:-1] + _EDGES[1:])
+_WIDTHS_BARK = np.diff(_bark(_EDGES))
+
+# absolute hearing threshold (dB SPL, ISO 389-7 analytic approximation) at
+# the band centers, converted to the internal power scale
+_THR_DB = (
+    3.64 * (_CENTERS / 1000.0) ** -0.8
+    - 6.5 * np.exp(-0.6 * (_CENTERS / 1000.0 - 3.3) ** 2)
+    + 1e-3 * (_CENTERS / 1000.0) ** 4
+)
+_ABS_THRESH = _ABS_THRESH_SCALE * 10.0 ** (np.clip(_THR_DB, -20, 60) / 10.0)
+
+
+def _irs_weight(f: np.ndarray) -> np.ndarray:
+    """IRS-receive-style band-pass magnitude (300-3400 Hz telephone band,
+    gentle presence rise, steep rolloff outside)."""
+    f = np.asarray(f, np.float64)
+    lo = 1.0 / (1.0 + (310.0 / np.maximum(f, 1e-6)) ** 4)
+    hi = 1.0 / (1.0 + (f / 3600.0) ** 8)
+    tilt = (np.maximum(f, 1e-6) / 1000.0) ** 0.1
+    return lo * hi * tilt
+
+
+def _frames(x: np.ndarray) -> np.ndarray:
+    n = 1 + max(0, (len(x) - _FRAME)) // _HOP
+    idx = np.arange(_FRAME)[None, :] + _HOP * np.arange(n)[:, None]
+    return x[idx]
+
+
+_WINDOW = np.hanning(_FRAME + 1)[:-1]
+_FFT_FREQS = np.fft.rfftfreq(_FRAME, d=1.0 / _SR)
+_IRS = _irs_weight(_FFT_FREQS)
+# FFT-bin -> Bark-band pooling matrix [nbins, NBARK] (mean within band)
+_POOL = np.zeros((_FFT_FREQS.size, _NBARK))
+for _b in range(_NBARK):
+    _sel = (_FFT_FREQS >= _EDGES[_b]) & (_FFT_FREQS < _EDGES[_b + 1])
+    if not _sel.any():  # narrow low bands: take the nearest bin
+        _sel = np.zeros_like(_sel)
+        _sel[np.argmin(np.abs(_FFT_FREQS - _CENTERS[_b]))] = True
+    _POOL[_sel, _b] = 1.0 / _sel.sum()
+
+
+def _level_align(x: np.ndarray) -> np.ndarray:
+    """Scale to a fixed active-band power (the P.862 level alignment)."""
+    spec = np.fft.rfft(np.pad(x, (0, (-len(x)) % _FRAME)).reshape(-1, _FRAME))
+    band = (_FFT_FREQS >= 300) & (_FFT_FREQS <= 3400)
+    p = np.mean(np.abs(spec[:, band]) ** 2) / _FRAME + 1e-12
+    return x * np.sqrt(_TARGET_POWER / p)
+
+
+def _align_delay(ref: np.ndarray, deg: np.ndarray, max_ms: float = 125.0) -> int:
+    """Envelope cross-correlation delay estimate (samples; deg relative to
+    ref), the crude stage of the P.862 time alignment. The framework's own
+    eval signals are aligned by construction, so this mainly guards against
+    externally produced files."""
+    fr = _frames(ref)
+    fd = _frames(deg)
+    n = min(len(fr), len(fd))
+    if n < 4:
+        return 0
+    er = np.log10(1e-6 + np.sum(fr[:n] ** 2, axis=1))
+    ed = np.log10(1e-6 + np.sum(fd[:n] ** 2, axis=1))
+    er -= er.mean()
+    ed -= ed.mean()
+    max_lag = max(1, int(max_ms / 1000.0 * _SR / _HOP))
+    lags = np.arange(-max_lag, max_lag + 1)
+    cc = [
+        np.sum(er[max(0, -l) : n - max(0, l)] * ed[max(0, l) : n - max(0, -l)])
+        for l in lags
+    ]
+    frame_lag = int(lags[int(np.argmax(cc))])
+    # fine stage: sample-resolution cross-correlation around the frame lag
+    center = frame_lag * _HOP
+    span = _HOP
+    best, best_v = center, -np.inf
+    seg = slice(0, min(len(ref), len(deg), 4 * _SR))
+    r = ref[seg]
+    for s in range(center - span, center + span + 1, 4):
+        if s >= 0:
+            d = deg[s : s + len(r)]
+        else:
+            d = np.pad(deg[: len(r) + s], (-s, 0))
+        m = min(len(r), len(d))
+        if m < _FRAME:
+            continue
+        v = float(np.dot(r[:m], d[:m]))
+        if v > best_v:
+            best_v, best = v, s
+    return best
+
+
+def _bark_powers(x: np.ndarray) -> np.ndarray:
+    """[T] -> pitch powers [frames, NBARK] after IRS weighting."""
+    fr = _frames(x) * _WINDOW[None, :]
+    spec = np.abs(np.fft.rfft(fr, axis=1)) ** 2 * (_IRS[None, :] ** 2)
+    return spec @ _POOL
+
+
+def _loudness(p: np.ndarray) -> np.ndarray:
+    """Zwicker-law intensity -> loudness per band (Sone-like)."""
+    t = _ABS_THRESH[None, :]
+    s = (t / 0.5) ** _ZWICKER_POWER * (
+        (0.5 + 0.5 * p / t) ** _ZWICKER_POWER - 1.0
+    )
+    return np.where(p > t, s, 0.0) * _WIDTHS_BARK[None, :]
+
+
+def pesq_nb(ref: np.ndarray, deg: np.ndarray, sr: int = _SR) -> float:
+    """P.862-scale narrowband score for deg against ref (raw, ~[-0.5, 4.5])."""
+    if sr != _SR:
+        raise ValueError(f"pesq_nb is the 8 kHz narrowband model, got sr={sr}")
+    ref = np.asarray(ref, np.float64).ravel()
+    deg = np.asarray(deg, np.float64).ravel()
+    if min(len(ref), len(deg)) < 4 * _FRAME:
+        raise ValueError("signals too short for PESQ (need >= 128 ms)")
+
+    ref = _level_align(ref)
+    deg = _level_align(deg)
+    shift = _align_delay(ref, deg)
+    if shift > 0:
+        deg = deg[shift:]
+    elif shift < 0:
+        deg = np.pad(deg, (-shift, 0))
+    n = min(len(ref), len(deg))
+    ref, deg = ref[:n], deg[:n]
+
+    pr = _bark_powers(ref)
+    pd = _bark_powers(deg)
+    nf = min(len(pr), len(pd))
+    pr, pd = pr[:nf], pd[:nf]
+
+    # partial frequency compensation: equalize deg by the per-band mean
+    # ratio over speech-active frames, bounded to +-20 dB
+    active = np.sum(pr, axis=1) > 1e2 * _ABS_THRESH.mean()
+    if active.sum() >= 2:
+        num = np.mean(pr[active], axis=0) + 1e3
+        den = np.mean(pd[active], axis=0) + 1e3
+        eq = np.clip(num / den, 1e-2, 1e2)
+    else:
+        eq = np.ones(_NBARK)
+    pd = pd * eq[None, :]
+
+    # partial gain compensation per frame (bounded), tracking slow AGC
+    fr_num = np.sum(pr * _WIDTHS_BARK[None, :], axis=1) + 5e3
+    fr_den = np.sum(pd * _WIDTHS_BARK[None, :], axis=1) + 5e3
+    g = np.clip(fr_num / fr_den, 3e-4, 5.0)
+    # first-order smoothing (the spec's recursive gain track)
+    for i in range(1, nf):
+        g[i] = 0.8 * g[i - 1] + 0.2 * g[i]
+    pd = pd * g[:, None]
+
+    lr = _loudness(pr)
+    ld = _loudness(pd)
+
+    # center-clipped symmetric disturbance
+    diff = ld - lr
+    dead = 0.25 * np.minimum(ld, lr)
+    d = np.sign(diff) * np.maximum(np.abs(diff) - dead, 0.0)
+
+    # asymmetry factor: added distortions weigh more than removed ones
+    ratio = ((pd + 50.0) / (pr + 50.0)) ** 1.2
+    asym = np.where(ratio < 3.0, 0.0, np.minimum(ratio, 12.0))
+
+    w = _WIDTHS_BARK[None, :]
+    frame_d = np.sqrt(np.sum(w * d**2, axis=1) / np.sum(w))
+    frame_da = np.sum(w * np.abs(d) * asym, axis=1) / np.sum(w)
+
+    # emphasize frames with speech energy (silent frames weigh less)
+    e = np.sum(pr, axis=1)
+    wf = ((e + 1e5) / 1e7) ** 0.04
+    wf = np.clip(wf, 0.3, 2.0)
+    frame_d = np.minimum(frame_d / wf, 45.0)
+    frame_da = np.minimum(frame_da / wf, 45.0)
+
+    def _agg(fd: np.ndarray) -> float:
+        # L6 within ~20-frame splits, L2 across splits (the P.862 psc/pss)
+        ns = max(1, len(fd) // 20)
+        splits = np.array_split(fd, ns)
+        l6 = np.array([np.mean(s**6.0) ** (1.0 / 6.0) for s in splits])
+        return float(np.sqrt(np.mean(l6**2)))
+
+    d_ind = _agg(frame_d)
+    da_ind = _agg(frame_da)
+    return float(np.clip(4.5 - 0.1 * d_ind - 0.0309 * da_ind, -0.5, 4.5))
+
+
+def mos_lqo(pesq_raw: float) -> float:
+    """P.862.1 mapping from the raw P.862 score to MOS-LQO."""
+    return 0.999 + 4.0 / (1.0 + np.exp(-1.4945 * pesq_raw + 4.6607))
+
+
+class PesqMetric:
+    """Streaming mean of per-utterance P.862-scale scores (batch rows)."""
+
+    def __init__(self):
+        self.total = 0.0
+        self.count = 0
+
+    def update(self, enhanced: np.ndarray, gt: np.ndarray, lengths=None) -> None:
+        enhanced = np.atleast_2d(np.asarray(enhanced, np.float64))
+        gt = np.atleast_2d(np.asarray(gt, np.float64))
+        for k, (e, g) in enumerate(zip(enhanced, gt)):
+            if lengths is not None:
+                n = int(lengths[k])
+                e, g = e[:n], g[:n]
+            try:
+                self.total += pesq_nb(g, e)
+            except ValueError:
+                continue  # too-short rows don't poison the mean
+            self.count += 1
+
+    def compute(self) -> float:
+        return self.total / max(self.count, 1)

@@ -87,8 +87,11 @@ def main():
     )
     print(f"Num test files: {len(loader)}")
 
+    from cse_tpu.eval.pesq import PesqMetric
+
     m_sisnr, m_sdr = SiSnrMetric(), SdrMetric()
     m_sisnr_p, m_sdr_p = SiSnrMetric(), SdrMetric()
+    m_pesq = PesqMetric()
     for i, batch in enumerate(loader.batches()):
         mixed = batch["mixed"]
         est = separate(params, mixed)  # [1, T, spk]
@@ -100,6 +103,7 @@ def main():
         m_sdr.update(enhanced, gt)
         m_sisnr_p.update(np.asarray(mixed, np.float64), gt)
         m_sdr_p.update(np.asarray(mixed, np.float64), gt)
+        m_pesq.update(enhanced, gt, lengths=batch.get("sp_len"))
         if i % 20 == 0:
             print(f"******** Test ({args.test_dataset}) : {i + 1} / {len(loader)} ********")
 
@@ -108,12 +112,14 @@ def main():
         "sdr": m_sdr.compute(),
         "si_snr_i": m_sisnr.compute() - m_sisnr_p.compute(),
         "sdr_i": m_sdr.compute() - m_sdr_p.compute(),
+        "pesq": m_pesq.compute(),
         "n": m_sisnr.count,
     }
     print("## Test SI-SNR: ", res["si_snr"])
     print("## Test SDR: ", res["sdr"])
     print("## Test SI-SNR-i: ", res["si_snr_i"])
     print("## Test SDR-i: ", res["sdr_i"])
+    print("## Test PESQ-p862: ", res["pesq"])
 
     ckpt_tag = (
         os.path.join(*os.path.normpath(os.path.splitext(args.checkpoint)[0]).split(os.sep)[-2:])
@@ -127,6 +133,7 @@ def main():
         f.write(f"Test SDR: {res['sdr']}\n")
         f.write(f"Test SI-SNR-i: {res['si_snr_i']}\n")
         f.write(f"Test SDR-i: {res['sdr_i']}\n")
+        f.write(f"Test PESQ-p862: {res['pesq']}\n")
     return res
 
 

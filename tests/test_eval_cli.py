@@ -63,6 +63,8 @@ def test_eval_cli_contsep(tmp_path, monkeypatch):
     _check(res)
     out = tmp_path / "random_init" / "2_speaker_0_ctx"
     assert (out / "test_results_dailytalk.txt").exists()
+    txt = (out / "test_results_dailytalk.txt").read_text()
+    assert "Test PESQ-p862:" in txt  # PESQ column present (VERDICT r2 #6)
 
 
 @pytest.mark.parametrize("cue", ["joint", "voice"])
@@ -90,6 +92,7 @@ def test_eval_cli_cascaded(tmp_path, monkeypatch):
     _check(res)
     hits = list(tmp_path.rglob("test_results_dailytalk.txt"))
     assert hits, "cascaded eval wrote no result file"
+    assert "Test PESQ-p862:" in hits[0].read_text()
 
 
 def test_eval_cli_hcontext_tedlium(tmp_path, monkeypatch):

@@ -1,0 +1,99 @@
+"""P.862-scale PESQ: structural-property validation (ITU conformance vectors
+are unavailable in this zero-egress image — documented in eval/pesq.py)."""
+
+import numpy as np
+import pytest
+
+from cse_tpu.eval.pesq import PesqMetric, mos_lqo, pesq_nb
+
+
+def _speechlike(rng, n=24000, sr=8000):
+    """Modulated multi-tone in the telephone band with pauses (speech-ish)."""
+    t = np.arange(n) / sr
+    env = np.clip(np.sin(2 * np.pi * 2.5 * t), 0, None) ** 2
+    x = np.zeros(n)
+    for f0, a in ((220, 1.0), (440, 0.6), (880, 0.4), (1760, 0.25)):
+        x += a * np.sin(2 * np.pi * f0 * t + rng.uniform(0, 6.28))
+    x *= env
+    x += 0.02 * rng.standard_normal(n)
+    return (x / np.max(np.abs(x))).astype(np.float64)
+
+
+def test_identity_scores_maximum(rng):
+    x = _speechlike(rng)
+    s = pesq_nb(x, x)
+    assert s > 4.49, s
+
+
+def test_level_invariance(rng):
+    """Gain offsets are equalized away (level alignment): +-12 dB changes
+    the score by < 0.05."""
+    x = _speechlike(rng)
+    hi = pesq_nb(x, 4.0 * x)
+    lo = pesq_nb(x, 0.25 * x)
+    assert hi > 4.45 and lo > 4.45, (hi, lo)
+
+
+def test_monotone_under_noise(rng):
+    """Strictly decreasing score as SNR falls 30 -> 0 dB."""
+    x = _speechlike(rng)
+    noise = rng.standard_normal(len(x))
+    noise /= np.sqrt(np.mean(noise**2))
+    px = np.sqrt(np.mean(x**2))
+    scores = []
+    for snr_db in (30, 20, 10, 0):
+        g = px * 10 ** (-snr_db / 20)
+        scores.append(pesq_nb(x, x + g * noise))
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    assert scores[0] > 2.8, scores  # mild noise stays in the good range
+    assert scores[-1] < scores[0] - 0.8, scores  # 0 dB SNR clearly worse
+
+
+def test_alignable_delay_recovered(rng):
+    """A 20 ms delay is recovered by the alignment stage: score within 0.25
+    of the aligned score (vs a collapse without alignment)."""
+    x = _speechlike(rng)
+    d = np.pad(x, (160, 0))[: len(x)]
+    assert pesq_nb(x, d) > pesq_nb(x, x) - 0.25
+
+
+def test_uncorrelated_noise_scores_low(rng):
+    x = _speechlike(rng)
+    y = rng.standard_normal(len(x))
+    assert pesq_nb(x, y) < 2.5
+
+
+def test_degradation_ranking(rng):
+    """Known orderings: clean > quantized-8-levels > half-band-dropped+noise."""
+    x = _speechlike(rng)
+    quant = np.round(x * 4) / 4
+    noise = rng.standard_normal(len(x))
+    noise /= np.sqrt(np.mean(noise**2))
+    bad = 0.5 * x + 0.5 * np.sqrt(np.mean(x**2)) * noise
+    s_clean, s_q, s_bad = pesq_nb(x, x), pesq_nb(x, quant), pesq_nb(x, bad)
+    assert s_clean > s_q > s_bad, (s_clean, s_q, s_bad)
+
+
+def test_bounds_and_short_input(rng):
+    x = _speechlike(rng)
+    assert -0.5 <= pesq_nb(x, -x) <= 4.5
+    with pytest.raises(ValueError, match="too short"):
+        pesq_nb(x[:500], x[:500])
+    with pytest.raises(ValueError, match="narrowband"):
+        pesq_nb(x, x, sr=16000)
+
+
+def test_mos_lqo_mapping_anchors():
+    """The published P.862.1 logistic: known anchor values."""
+    assert abs(mos_lqo(4.5) - 4.55) < 0.06
+    assert abs(mos_lqo(1.0) - 1.15) < 0.15
+    assert mos_lqo(-0.5) < 1.05
+
+
+def test_metric_streaming_mean(rng):
+    x = _speechlike(rng)
+    m = PesqMetric()
+    m.update(x[None], x[None])
+    m.update(np.stack([x, x]), np.stack([x, x]))
+    assert m.count == 3
+    assert m.compute() > 4.49
