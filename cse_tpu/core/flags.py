@@ -107,6 +107,10 @@ def add_test_flags(p: argparse.ArgumentParser):
     p.add_argument("--local_rank", type=int, default=0)
     p.add_argument("--whisper_path", type=str, default=None,
                    help="local OpenAI whisper base.pt (cascaded pipeline)")
+    p.add_argument("--fused_eval", "--fused", dest="fused_eval",
+                   default=False, action="store_true",
+                   help="evaluate through the fused-kernel serving path "
+                        "(~1.5x on v5e; fp32-parity-tested vs model.apply)")
     p.add_argument("--asr_temperature", type=str, default=None,
                    help="comma list of whisper decode temperatures "
                         "(whisper.transcribe's `temperature` option; default "

@@ -166,18 +166,34 @@ def make_train_step(
     )
 
 
-def make_eval_step(model, cfg: TrainConfig, llm_apply: Callable | None = None, cue: str = "joint"):
+def make_eval_step(model, cfg: TrainConfig, llm_apply: Callable | None = None,
+                   cue: str = "joint", fused: bool = False):
     """Compiled inference step -> (enhanced [B, T], aux metrics).
 
     ContSep picks the stream via the selector head (sigmoid/softmax argmax,
     reference ``test.py:233-239``); context variants return stream 0.
+    ``fused=True`` routes the separator forward through the fused-kernel
+    serving path (``serving.sepformer_fused_forward``, ~1.5x on v5e,
+    fp32-parity-tested) — metrics within tolerance of the XLA path.
     """
     cue_idx = {"joint": 0, "history": 1, "voice": 2}[cue]
+
+    if fused:
+        from cse_tpu.serving import sepformer_fused_forward
+
+        def apply_fn(params, mix, *args, **kw):
+            ctx = args[0] if args else kw.pop("ctx", None)
+            if ctx is not None:
+                kw["ctx"] = ctx
+            return sepformer_fused_forward(params, model.cfg, mix, **kw)
+    else:
+        def apply_fn(params, mix, *args, **kw):
+            return model.apply(params, mix, *args, **kw)
 
     def step(params, batch):
         mixed = batch["mixed"]
         if cfg.variant == "base":
-            est = model.apply(params, mixed)  # [B, T, spk]
+            est = apply_fn(params, mixed)  # [B, T, spk]
             aux = {}
             if "gt" in batch:
                 # oracle-best stream (pretraining validation metric)
@@ -193,7 +209,7 @@ def make_eval_step(model, cfg: TrainConfig, llm_apply: Callable | None = None, c
         else:
             ctx = batch.get("ctx_feat")
         if cfg.variant == "contsep":
-            est, logits = model.apply(params, mixed, ctx)
+            est, logits = apply_fn(params, mixed, ctx)
             pred = (
                 jnp.argmax(logits, axis=-1)
                 if cfg.use_ce
@@ -209,7 +225,7 @@ def make_eval_step(model, cfg: TrainConfig, llm_apply: Callable | None = None, c
         kwargs = {}
         if cfg.variant == "hcontext":
             kwargs = dict(se=batch["se"], cue_index=jnp.asarray(cue_idx))
-        est = model.apply(params, mixed, ctx, **kwargs)
+        est = apply_fn(params, mixed, ctx, **kwargs)
         return est[:, :, 0], {}
 
     return jax.jit(step)

@@ -90,7 +90,7 @@ def main():
         variant="contsep" if mcfg.variant == "contsep" else "context",
         num_spks=mcfg.num_spks, use_ce=mcfg.ce,
     )
-    eval_step = make_eval_step(model, tcfg, llm_apply=llm)
+    eval_step = make_eval_step(model, tcfg, llm_apply=llm, fused=args.fused_eval)
 
     paths = _corpus_paths(args)
     pcfg = PipelineConfig(

@@ -65,7 +65,8 @@ def main():
     announce_assets("test", args, tokenizer=tokenizer, llm=llm,
                     ecapa_path=args.ecapa_path)
     tcfg = TrainConfig(variant="hcontext", num_spks=args.num_max_mix)
-    eval_step = make_eval_step(model, tcfg, llm_apply=llm, cue=args.cue)
+    eval_step = make_eval_step(model, tcfg, llm_apply=llm, cue=args.cue,
+                               fused=args.fused_eval)
 
     paths = _corpus_paths(args)
     pcfg = PipelineConfig(

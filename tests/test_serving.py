@@ -56,3 +56,42 @@ def test_engine_wrapper(rng):
     engine = ServingEngine(cfg, params)
     out = engine(mix, ctx)
     assert out.shape == (1, 200, 1) and np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("variant", ["contsep", "context"])
+def test_fused_eval_step_matches_xla(rng, variant):
+    """make_eval_step(fused=True) — the `--fused_eval` CLI path — reproduces
+    the XLA eval step's enhanced output and aux (VERDICT r2 'do this' #7)."""
+    from cse_tpu.train.step import TrainConfig, make_eval_step
+
+    cfg = SepformerConfig(variant=variant, ce=True, **TINY)
+    model = Sepformer(cfg)
+    mix = jnp.asarray(rng.standard_normal((2, 300)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((2, 1, 24)).astype(np.float32))
+    gt = jnp.asarray(rng.standard_normal((2, 300)).astype(np.float32))
+    params = model.init(jax.random.key(0), mix, ctx)
+    tcfg = TrainConfig(variant=variant, num_spks=2, use_ce=True)
+    batch = {"mixed": mix, "ctx_feat": ctx, "gt": gt}
+    ref_out, ref_aux = make_eval_step(model, tcfg)(params, batch)
+    got_out, got_aux = make_eval_step(model, tcfg, fused=True)(params, batch)
+    np.testing.assert_allclose(
+        np.asarray(got_out), np.asarray(ref_out), rtol=2e-4, atol=2e-4
+    )
+    for k in ref_aux:
+        np.testing.assert_array_equal(np.asarray(got_aux[k]), np.asarray(ref_aux[k]))
+
+
+def test_fused_eval_step_hcontext(rng):
+    from cse_tpu.train.step import TrainConfig, make_eval_step
+
+    cfg = SepformerConfig(variant="context", add_se=True, **TINY)
+    model = Sepformer(cfg)
+    mix = jnp.asarray(rng.standard_normal((1, 300)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((1, 1, 24)).astype(np.float32))
+    se = jnp.asarray(rng.standard_normal((1, 1, 12)).astype(np.float32))
+    params = model.init(jax.random.key(0), mix, ctx, se=se, cue_index=jnp.asarray(0))
+    tcfg = TrainConfig(variant="hcontext")
+    batch = {"mixed": mix, "ctx_feat": ctx, "se": se}
+    ref, _ = make_eval_step(model, tcfg, cue="voice")(params, batch)
+    got, _ = make_eval_step(model, tcfg, cue="voice", fused=True)(params, batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
