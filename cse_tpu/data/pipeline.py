@@ -439,6 +439,12 @@ class EvalLoader:
         cfg = self.cfg
         T16 = cfg.t16
         B = self.B
+        try:
+            from cse_tpu.native import audio_native
+
+            native = audio_native if audio_native.available() else None
+        except Exception:
+            native = None
         n_batches = math.ceil(len(self.mix_paths) / B)
         if limit_batches is not None:
             n_batches = min(n_batches, limit_batches)
@@ -453,30 +459,73 @@ class EvalLoader:
             }
             gt_len16 = np.zeros(nb, np.int32)  # true gt extent (enrollment)
             names = []
-            ctxs = []
+            n_noise = self.num_test_mix - 1
 
-            def load_row(k_i):
-                k, i = k_i
-                mp, gp = self.mix_paths[i], self.gt_paths[i]
-                # eval wavs are loaded raw (no peak renorm, reference :325-332)
-                x, sr = read_wav(mp)
-                assert sr == 16000
-                n = min(len(x), T16)
-                out["mixed"][k, :n] = x[:n]
-                out["sp_len"][k] = n
-                g, _ = read_wav(gp)
-                m = min(len(g), n)  # gt trimmed/padded to mix length
-                gt_len16[k] = m
-                out["gt"][k, :m] = g[:m]
-                for c, npth in enumerate(ds.noise_paths_for(gp, self.num_test_mix)):
-                    nz, _ = read_wav(npth)
-                    m2 = min(len(nz), n)
-                    out["noises"][k, :m2, c] = nz[:m2]
-                return ds.assemble_context(
-                    mp, self.corpus, self.mode, context_length=cfg.context_length
+            if native is not None:
+                # one C++ batch decode per batch (same runtime as the train
+                # loader) instead of per-row Python threads
+                n_per = 2 + n_noise  # mix, gt, noises...
+                paths: list[str] = []
+                for i in rows:
+                    gp = self.gt_paths[i]
+                    paths.append(self.mix_paths[i])
+                    paths.append(gp)
+                    paths.extend(ds.noise_paths_for(gp, self.num_test_mix))
+                buf = np.zeros((nb * n_per, T16), np.float32)
+                # eval wavs stay raw — peak_target<=0 disables the renorm
+                # (reference :325-332 loads eval mixtures unnormalized)
+                lens, srs = native.batch_load(paths, buf, peak_target=0.0)
+                for j in np.nonzero(lens <= 0)[0]:
+                    # formats the C decoder skips: Python fallback, and loud
+                    # failure for genuinely unreadable files
+                    x, sr = read_wav(paths[int(j)])
+                    m = min(len(x), T16)
+                    buf[j, :m] = x[:m]
+                    lens[j], srs[j] = m, sr
+                assert (srs == 16000).all(), "expected 16 kHz premixed eval wavs"
+                for k in range(nb):
+                    n = int(lens[k * n_per])
+                    out["mixed"][k] = buf[k * n_per]
+                    out["sp_len"][k] = n
+                    m = min(int(lens[k * n_per + 1]), n)  # gt trimmed to mix
+                    gt_len16[k] = m
+                    out["gt"][k, :m] = buf[k * n_per + 1, :m]
+                    for c in range(n_noise):
+                        m2 = min(int(lens[k * n_per + 2 + c]), n)
+                        out["noises"][k, :m2, c] = buf[k * n_per + 2 + c, :m2]
+                ctxs = list(
+                    self.pool.map(
+                        lambda i: ds.assemble_context(
+                            self.mix_paths[i], self.corpus, self.mode,
+                            context_length=cfg.context_length,
+                        ),
+                        rows,
+                    )
                 )
+            else:
 
-            ctxs = list(self.pool.map(load_row, list(enumerate(rows))))
+                def load_row(k_i):
+                    k, i = k_i
+                    mp, gp = self.mix_paths[i], self.gt_paths[i]
+                    # eval wavs are loaded raw (no peak renorm, reference :325-332)
+                    x, sr = read_wav(mp)
+                    assert sr == 16000
+                    n = min(len(x), T16)
+                    out["mixed"][k, :n] = x[:n]
+                    out["sp_len"][k] = n
+                    g, _ = read_wav(gp)
+                    m = min(len(g), n)  # gt trimmed/padded to mix length
+                    gt_len16[k] = m
+                    out["gt"][k, :m] = g[:m]
+                    for c, npth in enumerate(ds.noise_paths_for(gp, self.num_test_mix)):
+                        nz, _ = read_wav(npth)
+                        m2 = min(len(nz), n)
+                        out["noises"][k, :m2, c] = nz[:m2]
+                    return ds.assemble_context(
+                        mp, self.corpus, self.mode, context_length=cfg.context_length
+                    )
+
+                ctxs = list(self.pool.map(load_row, list(enumerate(rows))))
             names = [
                 os.path.splitext(os.path.basename(self.mix_paths[i]))[0] for i in rows
             ]

@@ -187,6 +187,35 @@ def test_eval_loader_carries_16k_gt(corpus):
     assert abs(int(b0["gt16k_len"][0]) - 2 * int(b0["sp_len"][0])) <= 1
 
 
+def test_eval_loader_native_matches_python(corpus, monkeypatch):
+    """The C++ batch-decode eval path must be bit-identical to the Python
+    per-row path (same raw decode, gt/noise trim-to-mix, resample chain)."""
+    from cse_tpu.native import audio_native
+
+    if not audio_native.available():
+        pytest.skip("native runtime not built")
+    paths = ds.CorpusPaths(dailytalk=corpus["dailytalk_data_path"])
+    cfg = PipelineConfig(max_sp_len=4, max_ctx_tokens=64)
+
+    def mk():
+        return EvalLoader(
+            paths, "dailytalk", "test", cfg, ByteTokenizer(), batch_size=2,
+            num_workers=2,
+        )
+
+    nat = list(mk().batches())
+    monkeypatch.setattr(audio_native, "available", lambda: False)
+    py = list(mk().batches())
+    assert len(nat) == len(py) > 0
+    for a, b in zip(nat, py):
+        for k in ("mixed", "gt", "noises", "sp_len", "gt16k", "gt16k_len",
+                  "context_ids", "context_mask"):
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+            )
+        assert a["names"] == b["names"] and a["contexts"] == b["contexts"]
+
+
 @pytest.mark.parametrize("corpus", ["spokenwoz", "tedlium"])
 def test_cross_corpus_layouts(tmp_path, corpus):
     """SpokenWoz/TEDLIUM-shaped corpora drive their distinct indexer and
