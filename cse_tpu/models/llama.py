@@ -263,10 +263,22 @@ def llama_shardings(mesh) -> dict:
 
 def _lookup(tree: dict, path) -> NamedSharding:
     node = tree
+    last_key = None
     for p in path:
         key = getattr(p, "key", None)
-        if key is not None and isinstance(node, dict) and key in node:
-            node = node[key]
+        if key is not None:
+            if isinstance(node, dict) and key in node:
+                node = node[key]
+            last_key = key
+    if last_key == "s" and isinstance(node, NamedSharding):
+        # int8 per-channel scale [L, 1, dout]: inherit only the OUTPUT-axis
+        # sharding of its matrix — row-sharded matrices (o/down, P(None,
+        # 'model', None)) produce partial sums over full dout per shard, so
+        # their scales must be replicated, and the parent's 'model' on the
+        # contraction axis cannot apply to the size-1 middle dim of s
+        spec = node.spec
+        out_axis = spec[2] if len(spec) > 2 else None
+        return NamedSharding(node.mesh, P(None, None, out_axis))
     return node
 
 

@@ -99,6 +99,28 @@ def test_tensor_parallel_matches_single(tiny_llama):
     np.testing.assert_allclose(out[m], ref[m], rtol=1e-4, atol=1e-4)
 
 
+def test_int8_tensor_parallel_matches_single(tiny_llama):
+    """int8 + TP mesh: the per-channel scales must shard along the OUTPUT
+    axis only (replicated for row-sharded o/down whose shards hold partial
+    sums over full dout) — device_put would reject the parent matrix spec."""
+    _, path = tiny_llama
+    from cse_tpu.core.mesh import make_mesh
+
+    qparams, cfg = load_llama_params(path, dtype=jnp.float32, quant="int8")
+    ids, mask = _inputs()
+    ref = np.asarray(llama_forward(qparams, jnp.asarray(ids), jnp.asarray(mask), cfg))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    qparams_tp, _ = load_llama_params(path, dtype=jnp.float32, mesh=mesh, quant="int8")
+    out = np.asarray(
+        jax.jit(lambda p, i, m: llama_forward(p, i, m, cfg))(
+            qparams_tp, jnp.asarray(ids), jnp.asarray(mask)
+        )
+    )
+    m = mask.astype(bool)
+    np.testing.assert_allclose(out[m], ref[m], rtol=1e-4, atol=1e-4)
+
+
 def test_int8_quantized_hidden_states_close(tiny_llama):
     """int8 weight-only vs full-precision: hidden-state relative error < 1e-2
     on valid positions (VERDICT r2 'do this' #2's done-criterion), and the
