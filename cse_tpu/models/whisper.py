@@ -702,7 +702,7 @@ class WhisperASR:
         return " ".join(f"w{int(t)}" for t in ids)
 
     def transcribe_results(self, wav16k: jnp.ndarray, max_tokens: int = 224):
-        """Full whisper.transcribe default policy over a batch of <=30 s rows.
+        """Full whisper.transcribe default policy over a batch of rows.
 
         Returns a list of per-row dicts: ``tokens`` (np.int32, trimmed),
         ``text`` (via ``text_fn`` when provided), ``avg_logprob``,
@@ -711,7 +711,28 @@ class WhisperASR:
         each 30 s segment independently; rows here are independent segments,
         so re-decoding the batch and accepting per row is behaviorally
         identical per row.
+
+        Rows longer than one 30 s window are split into fixed consecutive
+        windows, each decoded under the full per-segment policy, and merged
+        (silent windows emit no tokens, like whisper's segment skip; the
+        per-row dict gains a ``windows`` list). Deviation from
+        ``whisper.transcribe``, documented in COMPONENTS.md: upstream seeks
+        to the last decoded TIMESTAMP between windows, while this decode
+        pins <|notimestamps|> and advances by whole windows — identical when
+        speech doesn't straddle a 30 s boundary (and unreachable from the
+        cascade, whose eval utterances are <=30 s).
         """
+        window = self.cfg.n_audio_ctx * 2 * _WHISPER_HOP
+        B, T = wav16k.shape
+        if T > window:
+            n_win = -(-T // window)
+            wav = jnp.pad(wav16k, ((0, 0), (0, n_win * window - T)))
+            segs = wav.reshape(B * n_win, window)  # row-major: row b's windows
+            seg_res = self.transcribe_results(segs, max_tokens)
+            return [
+                self._merge_windows(seg_res[b * n_win : (b + 1) * n_win])
+                for b in range(B)
+            ]
         mel = self._mel(wav16k)
         B = mel.shape[0]
         lang = self._language_tokens(mel)
@@ -764,3 +785,37 @@ class WhisperASR:
             if not pending:
                 break
         return results
+
+    def _merge_windows(self, rs: list[dict]) -> dict:
+        """Merge per-window transcribe results for one long-form row.
+
+        Tokens/text concatenate over NON-silent windows (whisper skips silent
+        segments without emitting); ``avg_logprob`` re-aggregates from the
+        per-window sums with whisper's per-segment (n+1) accounting;
+        ``compression_ratio`` is recomputed on the merged text;
+        ``no_speech_prob`` reports the least-silent window (the row has
+        speech if any window does); ``temperature`` the highest accepted
+        rung; ``silent`` only when every window is."""
+        voiced = [r for r in rs if not r["silent"]]
+        toks = (
+            np.concatenate([r["tokens"] for r in voiced])
+            if voiced
+            else np.zeros(0, np.int32)
+        )
+        n_total = sum(len(r["tokens"]) for r in rs)
+        sum_lp = sum(r["avg_logprob"] * (len(r["tokens"]) + 1) for r in rs)
+        text = None
+        if self.text_fn is not None:
+            text = " ".join(t for t in (r["text"] for r in voiced) if t)
+        return {
+            "tokens": toks,
+            "text": text,
+            "avg_logprob": sum_lp / (n_total + len(rs)),
+            "compression_ratio": compression_ratio(
+                text if text is not None else self._text(toks)
+            ),
+            "no_speech_prob": min(r["no_speech_prob"] for r in rs),
+            "temperature": max(r["temperature"] for r in rs),
+            "silent": all(r["silent"] for r in rs),
+            "windows": rs,
+        }

@@ -560,6 +560,42 @@ def test_transcribe_rejects_over_window_input():
         asr.transcribe_tokens(too_long)
 
 
+def test_transcribe_results_long_form_windows(rng):
+    """Rows longer than one window split into fixed windows whose merged
+    result equals the per-window decodes (token concat over non-silent
+    windows, (n+1)-weighted avg_logprob re-aggregation)."""
+    params = jax.tree.map(np.asarray, random_whisper_params(TINY))
+    asr = WhisperASR(params=params, cfg=TINY, temperatures=(0.0,))
+    window = TINY.n_audio_ctx * 2 * 160
+    w1 = rng.standard_normal((1, window)).astype(np.float32)
+    w2 = rng.standard_normal((1, window)).astype(np.float32)
+    long_wav = jnp.asarray(np.concatenate([w1, w2[:, : window // 2]], axis=1))
+
+    res = asr.transcribe_results(long_wav, max_tokens=8)[0]
+    assert len(res["windows"]) == 2
+    # window decodes must match transcribing each window on its own (the
+    # second window is zero-padded to full length, as _mel would)
+    solo1 = asr.transcribe_results(jnp.asarray(w1), max_tokens=8)[0]
+    pad2 = np.concatenate(
+        [w2[:, : window // 2], np.zeros((1, window - window // 2), np.float32)], axis=1
+    )
+    solo2 = asr.transcribe_results(jnp.asarray(pad2), max_tokens=8)[0]
+    for got, want in zip(res["windows"], (solo1, solo2)):
+        np.testing.assert_array_equal(got["tokens"], want["tokens"])
+        assert got["silent"] == want["silent"]
+    voiced = [r for r in (solo1, solo2) if not r["silent"]]
+    np.testing.assert_array_equal(
+        res["tokens"],
+        np.concatenate([r["tokens"] for r in voiced]) if voiced else np.zeros(0),
+    )
+    want_avg = (
+        solo1["avg_logprob"] * (len(solo1["tokens"]) + 1)
+        + solo2["avg_logprob"] * (len(solo2["tokens"]) + 1)
+    ) / (len(solo1["tokens"]) + len(solo2["tokens"]) + 2)
+    np.testing.assert_allclose(res["avg_logprob"], want_avg, rtol=1e-6)
+    assert np.isfinite(res["compression_ratio"])
+
+
 def test_cascaded_silent_stream_empty_transcript(rng):
     """CascadedSelector maps a silent stream to an empty transcript and a
     -1e9 LM score (whisper.transcribe emits no segment for silence)."""
