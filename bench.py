@@ -125,10 +125,15 @@ def main():
 
     llm_note = ""
     if args.with_llm:
-        prefill_s = _time_llm_prefill(B, args.ctx_tokens, args.steps)
+        # per-CHIP batch share: under DP every chip prefills its own local
+        # rows in parallel, so timing the global batch on one device would
+        # overstate the cost by n_chips
+        prefill_s = _time_llm_prefill(
+            B // n_chips, args.ctx_tokens, args.steps, smoke=args.smoke
+        )
         dt += prefill_s * args.steps
-        llm_note = ", + measured int8 8B prefill %.0f ms/step @ %d tokens" % (
-            prefill_s * 1e3, args.ctx_tokens)
+        llm_note = ", + measured int8 %s prefill %.0f ms/step @ %d tokens" % (
+            "tiny-smoke" if args.smoke else "8B", prefill_s * 1e3, args.ctx_tokens)
 
     mixtures_per_sec = B * args.steps / dt / n_chips
     audio_s_per_s = mixtures_per_sec * T / args.sr
@@ -148,7 +153,7 @@ def main():
     )
 
 
-def _time_llm_prefill(B: int, T: int, steps: int) -> float:
+def _time_llm_prefill(B: int, T: int, steps: int, smoke: bool = False) -> float:
     """MEASURED per-step cost of the frozen Llama-3-8B context prefill on the
     full 32-layer 8B shape, int8 weight-only quantized (~6.6 GB layers +
     bf16 embed, no LM head — the encoder returns hidden states).
@@ -161,7 +166,12 @@ def _time_llm_prefill(B: int, T: int, steps: int) -> float:
     """
     from cse_tpu.models.llama import LlamaConfig, llama_forward, random_llama_params
 
-    cfg = LlamaConfig()
+    if smoke:  # plumbing-only: tiny shape, CPU-feasible, same int8 code path
+        cfg = LlamaConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          num_key_value_heads=2)
+    else:
+        cfg = LlamaConfig()
     params = random_llama_params(cfg, dtype=jnp.bfloat16, seed=0, quant="int8")
     del params["lm_head"]  # hidden-state encoder only (train_ContSep.py:380)
     rng = np.random.default_rng(0)

@@ -509,16 +509,19 @@ class EvalLoader:
                     mp, gp = self.mix_paths[i], self.gt_paths[i]
                     # eval wavs are loaded raw (no peak renorm, reference :325-332)
                     x, sr = read_wav(mp)
-                    assert sr == 16000
+                    assert sr == 16000, (mp, sr)
                     n = min(len(x), T16)
                     out["mixed"][k, :n] = x[:n]
                     out["sp_len"][k] = n
-                    g, _ = read_wav(gp)
+                    g, gsr = read_wav(gp)
+                    assert gsr == 16000, (gp, gsr)  # same contract as the
+                    # native path's blanket (srs == 16000).all()
                     m = min(len(g), n)  # gt trimmed/padded to mix length
                     gt_len16[k] = m
                     out["gt"][k, :m] = g[:m]
                     for c, npth in enumerate(ds.noise_paths_for(gp, self.num_test_mix)):
-                        nz, _ = read_wav(npth)
+                        nz, nsr = read_wav(npth)
+                        assert nsr == 16000, (npth, nsr)
                         m2 = min(len(nz), n)
                         out["noises"][k, :m2, c] = nz[:m2]
                     return ds.assemble_context(

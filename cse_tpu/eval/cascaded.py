@@ -152,11 +152,22 @@ def build_cascaded(
     # compression-ratio gate when tokenizer assets exist
     from cse_tpu.models.whisper import TRANSCRIBE_TEMPERATURES
 
+    if asr_temperatures:
+        temperatures = asr_temperatures
+    elif weights_path is None:
+        # stub (random) weights: avg_logprob fails the -1.0 gate on every
+        # row, so the full ladder would burn 5 sampled rungs x best_of=5
+        # decodes (plus a second B*5-shaped compile) on meaningless noise —
+        # pin the greedy rung; --asr_temperature still overrides
+        temperatures = (0.0,)
+    else:
+        temperatures = TRANSCRIBE_TEMPERATURES
+
     asr = WhisperASR(
         weights_path=weights_path, suppress_ids=_non_speech_ids(wtok),
         language=None,
         text_fn=(lambda ids: wtok.decode(ids)) if wtok is not None else None,
-        temperatures=asr_temperatures or TRANSCRIBE_TEMPERATURES,
+        temperatures=temperatures,
     )
     if weights_path is None:
         asr.is_stub = True

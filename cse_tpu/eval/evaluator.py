@@ -34,7 +34,7 @@ def evaluate(
 ) -> dict:
     m_sisnr, m_sisnr_prev = SiSnrMetric(), SiSnrMetric()
     m_sdr, m_sdr_prev = SdrMetric(), SdrMetric()
-    m_pesq, m_pesq_prev = PesqMetric(), PesqMetric()
+    m_pesq, m_pesq_prev = PesqMetric(sr=sr), PesqMetric(sr=sr)
     accs: list[np.ndarray] = []
 
     total = len(loader)

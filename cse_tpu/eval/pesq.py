@@ -244,9 +244,17 @@ def mos_lqo(pesq_raw: float) -> float:
 
 
 class PesqMetric:
-    """Streaming mean of per-utterance P.862-scale scores (batch rows)."""
+    """Streaming mean of per-utterance P.862-scale scores (batch rows).
 
-    def __init__(self):
+    ``sr`` is the rate of the signals fed to ``update``; the narrowband
+    model runs at 8 kHz, so 16 kHz inputs are decimated 2:1 (polyphase)
+    first — passing 16 kHz samples straight into the 8 kHz model would
+    silently halve every frame/band constant. Other rates are rejected."""
+
+    def __init__(self, sr: int = _SR):
+        if sr not in (_SR, 2 * _SR):
+            raise ValueError(f"PesqMetric supports 8/16 kHz input, got {sr}")
+        self.sr = sr
         self.total = 0.0
         self.count = 0
 
@@ -257,6 +265,11 @@ class PesqMetric:
             if lengths is not None:
                 n = int(lengths[k])
                 e, g = e[:n], g[:n]
+            if self.sr != _SR:
+                from scipy.signal import resample_poly
+
+                e = resample_poly(e, 1, self.sr // _SR)
+                g = resample_poly(g, 1, self.sr // _SR)
             try:
                 self.total += pesq_nb(g, e)
             except ValueError:

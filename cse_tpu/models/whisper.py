@@ -327,7 +327,18 @@ def _cross_kv(params: dict, audio: jnp.ndarray, cfg: WhisperConfig) -> dict:
     return {"k": jnp.stack(ak), "v": jnp.stack(av)}
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_tokens", "suppress_ids"))
+@partial(jax.jit, static_argnames=("cfg",))
+def whisper_encode_jit(params: dict, mel: jnp.ndarray, cfg: WhisperConfig):
+    """Standalone jitted encoder pass [B, n_frames, n_mels] -> [B, 1500, D].
+
+    The transcribe policy encodes each window ONCE and reuses the audio
+    features across the greedy rung, every sampled rung (tiled best_of times
+    AFTER encoding), and language detection — upstream whisper does the same
+    (DecodingTask caches audio_features); re-encoding per rung would run the
+    full encoder stack up to 1 + n_rungs*best_of times per batch."""
+    return whisper_encode(params, mel, cfg)
+
+
 def whisper_decode(
     params: dict,
     mel: jnp.ndarray,
@@ -338,7 +349,28 @@ def whisper_decode(
     max_tokens: int = 224,
     suppress_ids: tuple = (),
 ):
-    """One decode pass at a (traced) temperature.
+    """Encode + one decode pass (convenience wrapper over
+    ``whisper_encode_jit`` -> ``whisper_decode_audio``)."""
+    audio = whisper_encode_jit(params, mel, cfg)
+    return whisper_decode_audio(
+        params, audio, cfg, language_tokens, temperature, key,
+        max_tokens=max_tokens, suppress_ids=suppress_ids,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_tokens", "suppress_ids"))
+def whisper_decode_audio(
+    params: dict,
+    audio: jnp.ndarray,
+    cfg: WhisperConfig,
+    language_tokens: jnp.ndarray,
+    temperature: jnp.ndarray,
+    key: jnp.ndarray,
+    max_tokens: int = 224,
+    suppress_ids: tuple = (),
+):
+    """One decode pass at a (traced) temperature over PRE-ENCODED audio
+    features [B, 1500, D] (``whisper_encode_jit``).
 
     Prompt = [SOT, lang, transcribe, notimestamps] per row; stops at EOT.
     ``temperature == 0`` takes the argmax (whisper GreedyDecoder with t=0);
@@ -354,8 +386,7 @@ def whisper_decode(
     - ``no_speech_prob`` is softmax(raw logits at the SOT step)[<|nospeech|>]
       (whisper reads it at the SOT index of the initial forward).
     """
-    B = mel.shape[0]
-    audio = whisper_encode(params, mel, cfg)  # [B, 1500, D]
+    B = audio.shape[0]
     never_mask, first_mask = _suppress_masks(cfg, suppress_ids)
     audio_kv = _cross_kv(params, audio, cfg)
 
@@ -446,13 +477,20 @@ def whisper_greedy_decode(
     return toks, lens
 
 
-@partial(jax.jit, static_argnames=("cfg",))
 def whisper_detect_language(params: dict, mel: jnp.ndarray, cfg: WhisperConfig):
-    """whisper's ``detect_language``: one decoder step on [SOT], logits
-    restricted to the 99 language tokens. Returns (lang_token [B],
-    probs [B, n_vocab] softmax over the restricted logits)."""
-    B = mel.shape[0]
-    audio = whisper_encode(params, mel, cfg)
+    """Encode + language detection (wrapper over ``whisper_encode_jit`` ->
+    ``whisper_detect_language_audio``)."""
+    audio = whisper_encode_jit(params, mel, cfg)
+    return whisper_detect_language_audio(params, audio, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def whisper_detect_language_audio(params: dict, audio: jnp.ndarray, cfg: WhisperConfig):
+    """whisper's ``detect_language`` over pre-encoded audio features: one
+    decoder step on [SOT], logits restricted to the 99 language tokens.
+    Returns (lang_token [B], probs [B, n_vocab] softmax over the restricted
+    logits)."""
+    B = audio.shape[0]
     audio_kv = _cross_kv(params, audio, cfg)
     D = cfg.n_text_state
     kv0 = {
@@ -648,6 +686,14 @@ class WhisperASR:
                  best_of: int = BEST_OF):
         self.cfg = cfg or WhisperConfig()
         self.suppress_ids = tuple(sorted(set(int(t) for t in suppress_ids)))
+        if language not in (None, "en"):
+            # only 'en' ships a pinned prompt id; mapping other codes to
+            # tokens needs tokenizer assets the cascade doesn't use. Refuse
+            # rather than silently decoding with the <|en|> prompt.
+            raise ValueError(
+                f"language={language!r} unsupported: pass 'en' or None "
+                "(None auto-detects per row like whisper.transcribe)"
+            )
         self.language = language
         self.text_fn = text_fn  # token ids -> text, for compression ratio
         self.seed = seed
@@ -677,18 +723,16 @@ class WhisperASR:
             )
         return whisper_log_mel(wav16k, self.cfg.n_mels, n_frames=self.cfg.n_audio_ctx * 2)
 
-    def _language_tokens(self, mel: jnp.ndarray) -> jnp.ndarray:
+    def _language_for(self, audio: jnp.ndarray) -> jnp.ndarray:
         if self.language is None:
-            lang, _ = whisper_detect_language(self.params, mel, self.cfg)
+            lang, _ = whisper_detect_language_audio(self.params, audio, self.cfg)
             return lang
-        # only 'en' ships a pinned id here; other pins would need tokenizer
-        # assets to map code -> token, which the cascade doesn't use
-        return jnp.full((mel.shape[0],), self.cfg.token_lang_en, jnp.int32)
+        return jnp.full((audio.shape[0],), self.cfg.token_lang_en, jnp.int32)
 
     def transcribe_tokens(self, wav16k: jnp.ndarray, max_tokens: int = 224):
-        mel = self._mel(wav16k)
-        toks, lens, _, _ = whisper_decode(
-            self.params, mel, self.cfg, self._language_tokens(mel),
+        audio = whisper_encode_jit(self.params, self._mel(wav16k), self.cfg)
+        toks, lens, _, _ = whisper_decode_audio(
+            self.params, audio, self.cfg, self._language_for(audio),
             jnp.asarray(0.0), jax.random.PRNGKey(self.seed),
             max_tokens=max_tokens, suppress_ids=self.suppress_ids,
         )
@@ -733,16 +777,19 @@ class WhisperASR:
                 self._merge_windows(seg_res[b * n_win : (b + 1) * n_win])
                 for b in range(B)
             ]
-        mel = self._mel(wav16k)
-        B = mel.shape[0]
-        lang = self._language_tokens(mel)
+        # encode ONCE per window batch; all rungs + language detection reuse
+        # the audio features (upstream caches audio_features the same way)
+        audio = whisper_encode_jit(self.params, self._mel(wav16k), self.cfg)
+        B = audio.shape[0]
+        lang = self._language_for(audio)
+        audio_k = None  # best_of-tiled features, built on first sampled rung
         results: list[dict | None] = [None] * B
         pending = list(range(B))
         temperatures = self.temperatures
         for ti, t in enumerate(temperatures):
             if t == 0.0:
-                toks, lens, slp, nsp = whisper_decode(
-                    self.params, mel, self.cfg, lang,
+                toks, lens, slp, nsp = whisper_decode_audio(
+                    self.params, audio, self.cfg, lang,
                     jnp.asarray(0.0), jax.random.PRNGKey(self.seed),
                     max_tokens=max_tokens, suppress_ids=self.suppress_ids,
                 )
@@ -751,9 +798,10 @@ class WhisperASR:
                 # best_of=5: tile rows, sample, rank by sum_logprob / length
                 # (MaximumLikelihoodRanker with length_penalty=None)
                 k = self.best_of
-                mel5 = jnp.repeat(mel, k, axis=0)
-                toks5, lens5, slp5, nsp5 = whisper_decode(
-                    self.params, mel5, self.cfg, jnp.repeat(lang, k, axis=0),
+                if audio_k is None:
+                    audio_k = jnp.repeat(audio, k, axis=0)
+                toks5, lens5, slp5, nsp5 = whisper_decode_audio(
+                    self.params, audio_k, self.cfg, jnp.repeat(lang, k, axis=0),
                     jnp.asarray(t), jax.random.PRNGKey(self.seed * 1000 + ti),
                     max_tokens=max_tokens, suppress_ids=self.suppress_ids,
                 )
@@ -766,10 +814,11 @@ class WhisperASR:
                 n = int(lens[b])
                 ids = toks[b, :n]
                 avg_lp = float(slp[b]) / (n + 1)
-                cr = compression_ratio(self._text(ids))
+                txt = self._text(ids)
+                cr = compression_ratio(txt)
                 res = {
                     "tokens": ids,
-                    "text": self._text(ids) if self.text_fn is not None else None,
+                    "text": txt if self.text_fn is not None else None,
                     "avg_logprob": avg_lp,
                     "compression_ratio": cr,
                     "no_speech_prob": float(nsp[b]),

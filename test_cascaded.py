@@ -91,7 +91,7 @@ def main():
 
     m_sisnr, m_sdr = SiSnrMetric(), SdrMetric()
     m_sisnr_p, m_sdr_p = SiSnrMetric(), SdrMetric()
-    m_pesq = PesqMetric()
+    m_pesq = PesqMetric(sr=args.sr)
     for i, batch in enumerate(loader.batches()):
         mixed = batch["mixed"]
         est = separate(params, mixed)  # [1, T, spk]

@@ -97,3 +97,28 @@ def test_metric_streaming_mean(rng):
     m.update(np.stack([x, x]), np.stack([x, x]))
     assert m.count == 3
     assert m.compute() > 4.49
+
+
+def test_metric_16k_input_decimates(rng):
+    """PesqMetric(sr=16000) must decimate to the 8 kHz model: identity still
+    scores ~4.5, and the score tracks the 8 kHz metric on the same content
+    (feeding 16 kHz samples straight into the 8 kHz model would silently
+    halve every frame/band constant)."""
+    from scipy.signal import resample_poly
+
+    x8 = _speechlike(rng)
+    y8 = x8 + 0.05 * rng.standard_normal(len(x8))
+    x16 = resample_poly(x8, 2, 1)
+    y16 = resample_poly(y8, 2, 1)
+
+    m16 = PesqMetric(sr=16000)
+    m16.update(x16[None], x16[None])
+    assert m16.compute() > 4.45
+
+    a, b = PesqMetric(sr=16000), PesqMetric(sr=8000)
+    a.update(y16[None], x16[None])
+    b.update(y8[None], x8[None])
+    assert abs(a.compute() - b.compute()) < 0.25, (a.compute(), b.compute())
+
+    with pytest.raises(ValueError, match="8/16 kHz"):
+        PesqMetric(sr=44100)

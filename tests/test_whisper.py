@@ -553,6 +553,14 @@ def test_silence_overrides_fallback(rng):
     assert res["avg_logprob"] < -1.0
 
 
+def test_asr_rejects_unsupported_pinned_language():
+    """Only 'en' has a pinned prompt id; any other pin must raise instead of
+    silently decoding with <|en|> (language=None auto-detects)."""
+    with pytest.raises(ValueError, match="unsupported"):
+        WhisperASR(params=jax.tree.map(np.asarray, random_whisper_params(TINY)),
+                   cfg=TINY, language="fr")
+
+
 def test_transcribe_rejects_over_window_input():
     asr = WhisperASR(params=jax.tree.map(np.asarray, random_whisper_params(TINY)), cfg=TINY)
     too_long = jnp.zeros((1, TINY.n_audio_ctx * 2 * 160 + 1))
