@@ -418,6 +418,11 @@ class EvalLoader:
         num_workers: int = 8,
         seed: int = 0,
     ):
+        # the released eval layouts ship exactly 1 (2-spk) or 2 (3-spk)
+        # interferer files per gt (datasets.noise_paths_for); any other value
+        # would misalign the native batch decode's flat path stride
+        if num_test_mix not in (2, 3):
+            raise ValueError(f"num_test_mix must be 2 or 3, got {num_test_mix}")
         self.mix_paths, self.gt_paths = ds.build_eval_list(
             paths, corpus, mode, num_test_mix, seed=seed
         )

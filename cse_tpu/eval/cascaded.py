@@ -104,7 +104,15 @@ class CascadedSelector:
         for s in range(n):
             # silence skip: whisper.transcribe emits no segment, so the
             # stream's transcript is empty text
-            text = "" if results[s]["silent"] else self._decode_text(results[s]["tokens"])
+            res = results[s]
+            if res["silent"]:
+                text = ""
+            elif res["text"] is not None:
+                # reuse the ASR's decode (also what the compression-ratio
+                # gate saw) instead of decoding the ids a second time
+                text = res["text"]
+            else:
+                text = self._decode_text(res["tokens"])
             transcripts.append(text)
             scores.append(self._lm_score(context, text))
         return int(np.argmax(scores)), transcripts, scores

@@ -247,14 +247,15 @@ class PesqMetric:
     """Streaming mean of per-utterance P.862-scale scores (batch rows).
 
     ``sr`` is the rate of the signals fed to ``update``; the narrowband
-    model runs at 8 kHz, so 16 kHz inputs are decimated 2:1 (polyphase)
-    first — passing 16 kHz samples straight into the 8 kHz model would
-    silently halve every frame/band constant. Other rates are rejected."""
+    model runs at 8 kHz, so higher-rate inputs are polyphase-resampled to
+    8 kHz first — passing e.g. 16 kHz samples straight into the 8 kHz model
+    would silently halve every frame/band constant. Rates below 8 kHz are
+    rejected (upsampling cannot restore the 0-4 kHz band P.862 scores)."""
 
     def __init__(self, sr: int = _SR):
-        if sr not in (_SR, 2 * _SR):
-            raise ValueError(f"PesqMetric supports 8/16 kHz input, got {sr}")
-        self.sr = sr
+        if int(sr) != sr or sr < _SR:
+            raise ValueError(f"PesqMetric needs an integer rate >= 8 kHz, got {sr}")
+        self.sr = int(sr)
         self.total = 0.0
         self.count = 0
 
@@ -266,10 +267,13 @@ class PesqMetric:
                 n = int(lengths[k])
                 e, g = e[:n], g[:n]
             if self.sr != _SR:
+                import math as _math
+
                 from scipy.signal import resample_poly
 
-                e = resample_poly(e, 1, self.sr // _SR)
-                g = resample_poly(g, 1, self.sr // _SR)
+                d = _math.gcd(_SR, self.sr)
+                e = resample_poly(e, _SR // d, self.sr // d)
+                g = resample_poly(g, _SR // d, self.sr // d)
             try:
                 self.total += pesq_nb(g, e)
             except ValueError:
@@ -277,4 +281,6 @@ class PesqMetric:
             self.count += 1
 
     def compute(self) -> float:
-        return self.total / max(self.count, 1)
+        # nan, not 0.0: every row skipped (too short) must read as "nothing
+        # measured" in the results file, not as a rock-bottom score
+        return self.total / self.count if self.count else float("nan")

@@ -66,6 +66,10 @@ class WhisperConfig:
         return 50358
 
     @property
+    def token_sot_lm(self):
+        return 50360
+
+    @property
     def token_sot_prev(self):
         return 50361
 
@@ -304,7 +308,8 @@ def _suppress_masks(cfg: WhisperConfig, suppress_ids: tuple):
     token and EOT barred at the first content position."""
     never = np.zeros(cfg.n_vocab, np.float32)
     control = [cfg.sot, cfg.token_translate, cfg.token_transcribe,
-               cfg.token_sot_prev, cfg.token_nospeech, cfg.token_notimestamps]
+               cfg.token_sot_lm, cfg.token_sot_prev, cfg.token_nospeech,
+               cfg.token_notimestamps]
     never[[t for t in control if t < cfg.n_vocab]] = -np.inf
     if cfg.timestamp_begin < cfg.n_vocab:
         never[cfg.timestamp_begin:] = -np.inf
@@ -739,13 +744,16 @@ class WhisperASR:
         return np.asarray(toks), np.asarray(lens)
 
     def _text(self, ids: np.ndarray) -> str:
+        # upstream strips the decoded text BEFORE the compression-ratio gate
+        # (DecodingTask: texts = [tokenizer.decode(t).strip() ...])
         if self.text_fn is not None:
-            return self.text_fn(ids)
+            return self.text_fn(ids).strip()
         # no tokenizer assets: a stable pseudo-text over ids preserves the
         # repetition structure zlib measures (documented approximation)
         return " ".join(f"w{int(t)}" for t in ids)
 
-    def transcribe_results(self, wav16k: jnp.ndarray, max_tokens: int = 224):
+    def transcribe_results(self, wav16k: jnp.ndarray, max_tokens: int = 224,
+                           lang_tokens: jnp.ndarray | None = None):
         """Full whisper.transcribe default policy over a batch of rows.
 
         Returns a list of per-row dicts: ``tokens`` (np.int32, trimmed),
@@ -772,7 +780,17 @@ class WhisperASR:
             n_win = -(-T // window)
             wav = jnp.pad(wav16k, ((0, 0), (0, n_win * window - T)))
             segs = wav.reshape(B * n_win, window)  # row-major: row b's windows
-            seg_res = self.transcribe_results(segs, max_tokens)
+            if self.language is None:
+                # upstream detects language ONCE on the first 30 s mel and
+                # pins it for every later segment (transcribe.py's single
+                # detect_language call before the seek loop); detecting per
+                # window would let a padding-heavy tail window decode under
+                # a different language prompt
+                audio0 = whisper_encode_jit(
+                    self.params, self._mel(wav16k[:, :window]), self.cfg
+                )
+                lang_tokens = jnp.repeat(self._language_for(audio0), n_win, axis=0)
+            seg_res = self.transcribe_results(segs, max_tokens, lang_tokens=lang_tokens)
             return [
                 self._merge_windows(seg_res[b * n_win : (b + 1) * n_win])
                 for b in range(B)
@@ -781,7 +799,7 @@ class WhisperASR:
         # the audio features (upstream caches audio_features the same way)
         audio = whisper_encode_jit(self.params, self._mel(wav16k), self.cfg)
         B = audio.shape[0]
-        lang = self._language_for(audio)
+        lang = lang_tokens if lang_tokens is not None else self._language_for(audio)
         audio_k = None  # best_of-tiled features, built on first sampled rung
         results: list[dict | None] = [None] * B
         pending = list(range(B))

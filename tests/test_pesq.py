@@ -120,5 +120,22 @@ def test_metric_16k_input_decimates(rng):
     b.update(y8[None], x8[None])
     assert abs(a.compute() - b.compute()) < 0.25, (a.compute(), b.compute())
 
-    with pytest.raises(ValueError, match="8/16 kHz"):
-        PesqMetric(sr=44100)
+    with pytest.raises(ValueError, match=">= 8 kHz"):
+        PesqMetric(sr=4000)
+
+
+def test_metric_441k_resamples_and_empty_is_nan(rng):
+    """Arbitrary integer rates >= 8 kHz go through a rational polyphase
+    resample (44.1 kHz here); a metric that skipped every row reports nan,
+    never a fake 0.0 score."""
+    from scipy.signal import resample_poly
+
+    x8 = _speechlike(rng)
+    x441 = resample_poly(x8, 441, 80)
+    m = PesqMetric(sr=44100)
+    m.update(x441[None], x441[None])
+    assert m.count == 1 and m.compute() > 4.4
+
+    empty = PesqMetric()
+    empty.update(np.zeros((1, 100)), np.zeros((1, 100)))  # < min length: skipped
+    assert empty.count == 0 and np.isnan(empty.compute())

@@ -573,7 +573,10 @@ def test_transcribe_results_long_form_windows(rng):
     result equals the per-window decodes (token concat over non-silent
     windows, (n+1)-weighted avg_logprob re-aggregation)."""
     params = jax.tree.map(np.asarray, random_whisper_params(TINY))
-    asr = WhisperASR(params=params, cfg=TINY, temperatures=(0.0,))
+    # language pinned: with auto-detect the long-form path pins window 0's
+    # detected language for ALL windows (upstream behavior, tested below),
+    # so solo decodes of later windows would not be comparable
+    asr = WhisperASR(params=params, cfg=TINY, temperatures=(0.0,), language="en")
     window = TINY.n_audio_ctx * 2 * 160
     w1 = rng.standard_normal((1, window)).astype(np.float32)
     w2 = rng.standard_normal((1, window)).astype(np.float32)
@@ -602,6 +605,41 @@ def test_transcribe_results_long_form_windows(rng):
     ) / (len(solo1["tokens"]) + len(solo2["tokens"]) + 2)
     np.testing.assert_allclose(res["avg_logprob"], want_avg, rtol=1e-6)
     assert np.isfinite(res["compression_ratio"])
+
+
+def test_long_form_detects_language_once(rng, monkeypatch):
+    """With language=None, the long-form path detects on the FIRST window
+    only and pins that token for every later window (upstream's single
+    detect_language call before the seek loop) — never once per window."""
+    import cse_tpu.models.whisper as W
+
+    params = jax.tree.map(np.asarray, random_whisper_params(TINY))
+    asr = WhisperASR(params=params, cfg=TINY, temperatures=(0.0,), language=None)
+    window = TINY.n_audio_ctx * 2 * 160
+    wav = jnp.asarray(rng.standard_normal((2, window * 2 + 50)).astype(np.float32))
+
+    calls = []
+    real = W.whisper_detect_language_audio
+
+    def spy(params, audio, cfg):
+        calls.append(int(audio.shape[0]))
+        return real(params, audio, cfg)
+
+    monkeypatch.setattr(W, "whisper_detect_language_audio", spy)
+    res = asr.transcribe_results(wav, max_tokens=8)
+    assert len(res) == 2 and len(res[0]["windows"]) == 3
+    # exactly one detection, over the 2 first-window rows (not 2x3 windows)
+    assert calls == [2], calls
+
+
+def test_suppress_mask_bars_sot_lm():
+    """whisper's SuppressTokens always bars <|startoflm|> (50360) — a sampled
+    fallback rung must never be able to emit it."""
+    from cse_tpu.models.whisper import _suppress_masks
+
+    never, _ = _suppress_masks(TINY, ())
+    assert float(never[TINY.token_sot_lm]) == float("-inf")
+    assert float(never[TINY.token_sot_prev]) == float("-inf")
 
 
 def test_cascaded_silent_stream_empty_transcript(rng):
