@@ -172,8 +172,11 @@ def _time_llm_prefill(B: int, T: int, steps: int, smoke: bool = False) -> float:
                           num_key_value_heads=2)
     else:
         cfg = LlamaConfig()
-    params = random_llama_params(cfg, dtype=jnp.bfloat16, seed=0, quant="int8")
-    del params["lm_head"]  # hidden-state encoder only (train_ContSep.py:380)
+    # hidden-state encoder only (train_ContSep.py:380): skip the ~1 GB head
+    # instead of generating + transferring it just to delete it
+    params = random_llama_params(
+        cfg, dtype=jnp.bfloat16, seed=0, quant="int8", with_lm_head=False
+    )
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
     mask = jnp.ones((B, T), jnp.int32)

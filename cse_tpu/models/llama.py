@@ -283,12 +283,15 @@ def _lookup(tree: dict, path) -> NamedSharding:
 
 
 def random_llama_params(cfg: LlamaConfig, dtype=jnp.float32, mesh=None, seed: int = 0,
-                        quant: str | None = None) -> dict:
+                        quant: str | None = None, with_lm_head: bool = True) -> dict:
     """Random-init params in the stacked layout (tests / sharding dryruns).
 
     ``quant="int8"`` emits the quantized layout directly (int8 payloads +
     f32 scales) without materializing full-precision weights first — used by
-    the bench to stand up the full 32-layer 8B shape on one chip."""
+    the bench to stand up the full 32-layer 8B shape on one chip.
+    ``with_lm_head=False`` skips the [D, vocab] head entirely (hidden-state
+    encoder uses: generating + device-transferring ~1 GB just to delete it
+    is pure wall-clock waste at the 8B shape)."""
     rng = np.random.default_rng(seed)
     D, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
     H, KV, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -305,7 +308,14 @@ def random_llama_params(cfg: LlamaConfig, dtype=jnp.float32, mesh=None, seed: in
     params = {
         "embed": (rng.standard_normal((cfg.vocab_size, D)) * 0.02).astype(np.float32),
         "final_ln": np.ones(D, np.float32),
-        "lm_head": (rng.standard_normal((D, cfg.vocab_size)) / np.sqrt(D)).astype(np.float32),
+    }
+    if with_lm_head:
+        # drawn between embed and layers, preserving the original draw order
+        # (and thus the exact param values) of the with-head layout
+        params["lm_head"] = (
+            rng.standard_normal((D, cfg.vocab_size)) / np.sqrt(D)
+        ).astype(np.float32)
+    params.update({
         "layers": {
             "input_ln": np.ones((L, D), np.float32),
             "post_ln": np.ones((L, D), np.float32),
@@ -317,7 +327,7 @@ def random_llama_params(cfg: LlamaConfig, dtype=jnp.float32, mesh=None, seed: in
             "up": w(L, D, I),
             "down": w(L, I, D),
         },
-    }
+    })
     shardings = llama_shardings(mesh) if mesh is not None else None
 
     def put(pth, x):
