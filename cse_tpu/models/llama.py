@@ -306,15 +306,13 @@ def random_llama_params(cfg: LlamaConfig, dtype=jnp.float32, mesh=None, seed: in
         return (rng.standard_normal(shape) * scale).astype(np.float32)
 
     params = {
-        "embed": (rng.standard_normal((cfg.vocab_size, D)) * 0.02).astype(np.float32),
+        "embed": w(cfg.vocab_size, D, scale=0.02),
         "final_ln": np.ones(D, np.float32),
     }
     if with_lm_head:
         # drawn between embed and layers, preserving the original draw order
         # (and thus the exact param values) of the with-head layout
-        params["lm_head"] = (
-            rng.standard_normal((D, cfg.vocab_size)) / np.sqrt(D)
-        ).astype(np.float32)
+        params["lm_head"] = w(D, cfg.vocab_size)
     params.update({
         "layers": {
             "input_ln": np.ones((L, D), np.float32),

@@ -12,6 +12,7 @@ assets are used when present locally and stubbed (reported) otherwise.
 from __future__ import annotations
 
 import os
+from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
@@ -73,7 +74,7 @@ def main():
     print(f"[cse_tpu] cascaded stages: {cascade.describe()}")
     announce_assets(
         "test", args, tokenizer=tokenizer, whisper=cascade.asr,
-        llm=type("ScorerStatus", (), {"is_stub": cascade.scorer is None})(),
+        llm=SimpleNamespace(is_stub=cascade.scorer is None),
     )
 
     paths = _corpus_paths(args)
