@@ -323,13 +323,16 @@ class TrainLoader:
             native = None
 
         if native is not None:
-            buf = np.zeros((B * n_per, T16), np.float32)
-            lens, srs = native.batch_load(paths, buf, peak_target=0.9)
-            assert (srs[lens > 0] == 16000).all(), "expected 16 kHz corpus"
-            for k in range(B):
-                for j, key in enumerate(keys):
-                    out[key][k] = buf[k * n_per + j]
-                    out[f"{key}_len"][k] = lens[k * n_per + j]
+            # one C++ batch decode per key, straight into the destination
+            # arrays (out[key] is freshly np.zeros'd per batch, so the tail
+            # zeroing and the full-row buf->out copies of an intermediate
+            # buffer are both pure waste)
+            for j, key in enumerate(keys):
+                lens, srs = native.batch_load(
+                    paths[j::n_per], out[key], peak_target=0.9, zero_tail=False
+                )
+                assert (srs[lens > 0] == 16000).all(), "expected 16 kHz corpus"
+                out[f"{key}_len"][:] = lens
         else:
             def load_one(arg):
                 k, j, key = arg
@@ -467,37 +470,47 @@ class EvalLoader:
             n_noise = self.num_test_mix - 1
 
             if native is not None:
-                # one C++ batch decode per batch (same runtime as the train
-                # loader) instead of per-row Python threads
-                n_per = 2 + n_noise  # mix, gt, noises...
-                paths: list[str] = []
-                for i in rows:
-                    gp = self.gt_paths[i]
-                    paths.append(self.mix_paths[i])
-                    paths.append(gp)
-                    paths.extend(ds.noise_paths_for(gp, self.num_test_mix))
-                buf = np.zeros((nb * n_per, T16), np.float32)
-                # eval wavs stay raw — peak_target<=0 disables the renorm
-                # (reference :325-332 loads eval mixtures unnormalized)
-                lens, srs = native.batch_load(paths, buf, peak_target=0.0)
-                for j in np.nonzero(lens <= 0)[0]:
-                    # formats the C decoder skips: Python fallback, and loud
-                    # failure for genuinely unreadable files
-                    x, sr = read_wav(paths[int(j)])
-                    m = min(len(x), T16)
-                    buf[j, :m] = x[:m]
-                    lens[j], srs[j] = m, sr
-                assert (srs == 16000).all(), "expected 16 kHz premixed eval wavs"
+                # one C++ batch decode per target array (same runtime as the
+                # train loader), straight into the destinations — mixed/gt
+                # are [nb, T16] and freshly zeroed, so no intermediate batch
+                # buffer or full-row copies; only the noises need a scratch
+                # ([nb, T, c] interleaves the noise axis last)
+                def _load_array(paths_a, dst):
+                    # eval wavs stay raw — peak_target<=0 disables the renorm
+                    # (reference :325-332 loads eval mixtures unnormalized)
+                    lens, srs = native.batch_load(
+                        paths_a, dst, peak_target=0.0, zero_tail=False
+                    )
+                    for j in np.nonzero(lens <= 0)[0]:
+                        # formats the C decoder skips: Python fallback, and
+                        # loud failure for genuinely unreadable files
+                        x, sr = read_wav(paths_a[int(j)])
+                        m = min(len(x), T16)
+                        dst[j, :m] = x[:m]
+                        lens[j], srs[j] = m, sr
+                    assert (srs == 16000).all(), "expected 16 kHz premixed eval wavs"
+                    return lens
+
+                noise_paths = [
+                    p
+                    for i in rows
+                    for p in ds.noise_paths_for(self.gt_paths[i], self.num_test_mix)
+                ]
+                mlens = _load_array([self.mix_paths[i] for i in rows], out["mixed"])
+                glens = _load_array([self.gt_paths[i] for i in rows], out["gt"])
+                nbuf = np.zeros((nb * n_noise, T16), np.float32)
+                nlens = _load_array(noise_paths, nbuf)
                 for k in range(nb):
-                    n = int(lens[k * n_per])
-                    out["mixed"][k] = buf[k * n_per]
+                    n = int(mlens[k])
                     out["sp_len"][k] = n
-                    m = min(int(lens[k * n_per + 1]), n)  # gt trimmed to mix
+                    gl = int(glens[k])
+                    m = min(gl, n)  # gt trimmed to mix length
                     gt_len16[k] = m
-                    out["gt"][k, :m] = buf[k * n_per + 1, :m]
+                    if gl > m:  # direct decode wrote past the trim point
+                        out["gt"][k, m:gl] = 0.0
                     for c in range(n_noise):
-                        m2 = min(int(lens[k * n_per + 2 + c]), n)
-                        out["noises"][k, :m2, c] = buf[k * n_per + 2 + c, :m2]
+                        m2 = min(int(nlens[k * n_noise + c]), n)
+                        out["noises"][k, :m2, c] = nbuf[k * n_noise + c, :m2]
                 ctxs = list(
                     self.pool.map(
                         lambda i: ds.assemble_context(

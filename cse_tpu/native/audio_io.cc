@@ -193,7 +193,8 @@ int64_t cse_wav_info(const char* path, int32_t* sr_out) {
 // (the reference's load-time `x / max|x| * 0.9`). Returns #successes.
 int32_t cse_batch_load(const char** paths, int32_t n_files, float* out,
                        int64_t buf_len, int32_t* lens, int32_t* srs,
-                       float peak_target, int32_t n_threads) {
+                       float peak_target, int32_t n_threads,
+                       int32_t zero_tail) {
   std::atomic<int32_t> next(0), ok(0);
   if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
   if (n_threads > n_files) n_threads = n_files;
@@ -202,9 +203,11 @@ int32_t cse_batch_load(const char** paths, int32_t n_files, float* out,
       int32_t i = next.fetch_add(1);
       if (i >= n_files) break;
       float* row = out + static_cast<int64_t>(i) * buf_len;
-      std::memset(row, 0, buf_len * sizeof(float));
       WavData w;
       if (!read_wav_file(paths[i], &w)) {
+        // failed rows are always fully zeroed so callers never read stale
+        // data for them, even with zero_tail off
+        std::memset(row, 0, buf_len * sizeof(float));
         lens[i] = 0;
         srs[i] = 0;
         continue;
@@ -218,6 +221,11 @@ int32_t cse_batch_load(const char** paths, int32_t n_files, float* out,
       }
       if (n > buf_len) n = buf_len;
       std::memcpy(row, w.samples.data(), n * sizeof(float));
+      // tail zeroing only where needed: with a freshly calloc'd destination
+      // (both loaders) the pages past n are zero-mapped already, and
+      // touching them would dirty ~T16-n floats per short row for nothing
+      if (zero_tail && n < buf_len)
+        std::memset(row + n, 0, (buf_len - n) * sizeof(float));
       lens[i] = static_cast<int32_t>(n);
       srs[i] = w.sample_rate;
       ok.fetch_add(1);

@@ -50,7 +50,7 @@ def _load():
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.c_float, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_int32, ctypes.c_int32,
     ]
     lib.cse_write_wav.restype = ctypes.c_int32
     lib.cse_write_wav.argtypes = [
@@ -85,12 +85,17 @@ def read_wav(path: str):
 
 
 def batch_load(
-    paths: list[str], buf: np.ndarray, peak_target: float = 0.9, n_threads: int = 0
+    paths: list[str], buf: np.ndarray, peak_target: float = 0.9, n_threads: int = 0,
+    zero_tail: bool = True,
 ):
     """Parallel decode into buf [N, T] (C-contig float32).
 
     Returns (lengths [N] int32, sample_rates [N] int32). Rows that fail decode
-    get length 0. peak_target <= 0 disables normalization.
+    get length 0 (and are fully zeroed). peak_target <= 0 disables
+    normalization. ``zero_tail=False`` skips zeroing past each decoded
+    length — pass it ONLY for freshly allocated (np.zeros) destinations,
+    where the pages past the data are zero-mapped already and touching them
+    would dirty memory for nothing; with a reused buffer keep the default.
     """
     lib = _load()
     assert lib is not None, "native library unavailable"
@@ -103,7 +108,7 @@ def batch_load(
         arr, n, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), buf.shape[1],
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        ctypes.c_float(peak_target), n_threads,
+        ctypes.c_float(peak_target), n_threads, int(zero_tail),
     )
     return lens, srs
 

@@ -63,6 +63,30 @@ def test_batch_load_missing_file(built, tmp_path, rng):
     assert lens[0] > 0 and lens[1] == 0
 
 
+def test_batch_load_zero_tail_contract(built, tmp_path, rng):
+    """zero_tail=True scrubs past each decoded length even in a dirty buffer;
+    zero_tail=False leaves the tail untouched (only valid for fresh np.zeros
+    destinations) but failed rows are ALWAYS fully zeroed; decoded samples
+    are identical either way."""
+    paths = _make_wavs(tmp_path, rng, n=2) + [str(tmp_path / "nope.wav")]
+    dirty = np.full((3, 5000), 7.0, np.float32)
+    lens, _ = audio_native.batch_load(paths, dirty.copy(), zero_tail=True)
+    scrubbed = dirty.copy()
+    lens2, _ = audio_native.batch_load(paths, scrubbed, zero_tail=True)
+    assert (lens == lens2).all()
+    for i in range(2):
+        assert np.all(scrubbed[i, lens[i]:] == 0)
+    assert np.all(scrubbed[2] == 0)  # failed row fully zeroed
+
+    left = dirty.copy()
+    lens3, _ = audio_native.batch_load(paths, left, zero_tail=False)
+    assert (lens3 == lens).all()
+    for i in range(2):
+        np.testing.assert_array_equal(left[i, : lens[i]], scrubbed[i, : lens[i]])
+        assert np.all(left[i, lens[i]:] == 7.0)  # tail untouched
+    assert np.all(left[2] == 0)  # failed row still fully zeroed
+
+
 def test_wav_info_data_chunk_before_fmt(built, tmp_path):
     """A legal WAV with the data chunk ahead of fmt must still probe: the
     scanner restores the stream position after measuring the data extent
