@@ -187,26 +187,44 @@ def test_eval_loader_carries_16k_gt(corpus):
     assert abs(int(b0["gt16k_len"][0]) - 2 * int(b0["sp_len"][0])) <= 1
 
 
-def test_eval_loader_native_matches_python(corpus, monkeypatch):
+@pytest.mark.parametrize("num_test_mix", [2, 3])
+def test_eval_loader_native_matches_python(monkeypatch, tmp_path, num_test_mix):
     """The C++ batch-decode eval path must be bit-identical to the Python
-    per-row path (same raw decode, gt/noise trim-to-mix, resample chain)."""
+    per-row path (same raw decode, gt/noise trim-to-mix, resample chain) —
+    for both the 1-interferer (2-spk) and 2-interferer (3-spk) layouts, and
+    for a gt file LONGER than its mix (the direct-decode path must zero the
+    over-extent it wrote past the trim point)."""
+    from cse_tpu.data.audio_io import read_wav as _rw, write_wav as _ww
     from cse_tpu.native import audio_native
 
     if not audio_native.available():
         pytest.skip("native runtime not built")
-    paths = ds.CorpusPaths(dailytalk=corpus["dailytalk_data_path"])
+    # private corpus (not the module fixture): this test doctors a gt file
+    info = make_synthetic_corpus(
+        str(tmp_path / "c"), n_dialogs=2, turns_per_dialog=4, n_eval=4,
+        num_test_mix=num_test_mix,
+    )
+    paths = ds.CorpusPaths(dailytalk=info["dailytalk_data_path"])
     cfg = PipelineConfig(max_sp_len=4, max_ctx_tokens=64)
 
     def mk():
         return EvalLoader(
             paths, "dailytalk", "test", cfg, ByteTokenizer(), batch_size=2,
-            num_workers=2,
+            num_workers=2, num_test_mix=num_test_mix,
         )
+
+    # doctor one gt to be longer than its mix: the trim-to-mix rule applies
+    probe = mk()
+    gp = probe.gt_paths[0]
+    g0, gsr = _rw(gp)
+    _ww(gp, np.concatenate([g0, 0.25 * g0]), gsr)
+    probe.close()
 
     nat = list(mk().batches())
     monkeypatch.setattr(audio_native, "available", lambda: False)
     py = list(mk().batches())
     assert len(nat) == len(py) > 0
+    assert nat[0]["noises"].shape[-1] == num_test_mix - 1
     for a, b in zip(nat, py):
         for k in ("mixed", "gt", "noises", "sp_len", "gt16k", "gt16k_len",
                   "context_ids", "context_mask"):
