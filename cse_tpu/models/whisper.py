@@ -780,17 +780,25 @@ class WhisperASR:
             n_win = -(-T // window)
             wav = jnp.pad(wav16k, ((0, 0), (0, n_win * window - T)))
             segs = wav.reshape(B * n_win, window)  # row-major: row b's windows
-            if self.language is None:
-                # upstream detects language ONCE on the first 30 s mel and
-                # pins it for every later segment (transcribe.py's single
-                # detect_language call before the seek loop); detecting per
-                # window would let a padding-heavy tail window decode under
-                # a different language prompt
-                audio0 = whisper_encode_jit(
-                    self.params, self._mel(wav16k[:, :window]), self.cfg
-                )
-                lang_tokens = jnp.repeat(self._language_for(audio0), n_win, axis=0)
-            seg_res = self.transcribe_results(segs, max_tokens, lang_tokens=lang_tokens)
+            # every window encoded exactly once; language detection reuses
+            # row b's FIRST-window features from the same encoding
+            audio = whisper_encode_jit(self.params, self._mel(segs), self.cfg)
+            if lang_tokens is None:
+                if self.language is None:
+                    # upstream detects language ONCE on the first 30 s mel
+                    # and pins it for every later segment (transcribe.py's
+                    # single detect_language call before the seek loop);
+                    # detecting per window would let a padding-heavy tail
+                    # window decode under a different language prompt
+                    first = audio.reshape(B, n_win, *audio.shape[1:])[:, 0]
+                    lang_tokens = jnp.repeat(
+                        self._language_for(first), n_win, axis=0
+                    )
+                else:
+                    lang_tokens = jnp.full(
+                        (B * n_win,), self.cfg.token_lang_en, jnp.int32
+                    )
+            seg_res = self._decode_rungs(audio, lang_tokens, max_tokens)
             return [
                 self._merge_windows(seg_res[b * n_win : (b + 1) * n_win])
                 for b in range(B)
@@ -798,8 +806,14 @@ class WhisperASR:
         # encode ONCE per window batch; all rungs + language detection reuse
         # the audio features (upstream caches audio_features the same way)
         audio = whisper_encode_jit(self.params, self._mel(wav16k), self.cfg)
-        B = audio.shape[0]
         lang = lang_tokens if lang_tokens is not None else self._language_for(audio)
+        return self._decode_rungs(audio, lang, max_tokens)
+
+    def _decode_rungs(self, audio: jnp.ndarray, lang: jnp.ndarray,
+                      max_tokens: int) -> list[dict]:
+        """The temperature ladder over pre-encoded audio features [B, .., D]
+        (the policy engine shared by the single-window and long-form paths)."""
+        B = audio.shape[0]
         audio_k = None  # best_of-tiled features, built on first sampled rung
         results: list[dict | None] = [None] * B
         pending = list(range(B))
