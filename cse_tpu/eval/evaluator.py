@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-from cse_tpu.data.pipeline import EvalLoader
+from cse_tpu.data.pipeline import EvalLoader, prefetch
 from cse_tpu.data.audio_io import write_wav
 from cse_tpu.eval.metrics import SdrMetric, SiSnrMetric, si_snr_numpy
 from cse_tpu.eval.pesq import PesqMetric
@@ -39,7 +39,11 @@ def evaluate(
 
     total = len(loader)
     seen = 0
-    for bi, batch in enumerate(loader.batches(limit_batches=limit_batches)):
+    # host decode of batch N+1 overlaps the device step + float64 host
+    # metrics of batch N (same prefetch the train loop uses; the on-device
+    # prepare_batch stays in the consumer thread)
+    batches = prefetch(loader.batches(limit_batches=limit_batches), depth=2)
+    for bi, batch in enumerate(batches):
         if prepare_batch is not None:
             batch = prepare_batch(batch)
         model_batch = {

@@ -24,7 +24,7 @@ from cse_tpu.compat.torch_import import (
 )
 from cse_tpu.core.banner import announce_assets
 from cse_tpu.core.flags import parse_test_args
-from cse_tpu.data.pipeline import EvalLoader, PipelineConfig
+from cse_tpu.data.pipeline import EvalLoader, PipelineConfig, prefetch
 from cse_tpu.data.tokenizer import load_tokenizer
 from cse_tpu.eval.cascaded import build_cascaded
 from cse_tpu.eval.metrics import SdrMetric, SiSnrMetric
@@ -93,7 +93,8 @@ def main():
     m_sisnr, m_sdr = SiSnrMetric(), SdrMetric()
     m_sisnr_p, m_sdr_p = SiSnrMetric(), SdrMetric()
     m_pesq = PesqMetric(sr=args.sr)
-    for i, batch in enumerate(loader.batches()):
+    # decode of row N+1 overlaps the separator/ASR/scorer work of row N
+    for i, batch in enumerate(prefetch(loader.batches(), depth=2)):
         mixed = batch["mixed"]
         est = separate(params, mixed)  # [1, T, spk]
         cands = np.asarray(est[0]).T  # [spk, T]
