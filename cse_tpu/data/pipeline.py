@@ -323,16 +323,18 @@ class TrainLoader:
             native = None
 
         if native is not None:
-            # one C++ batch decode per key, straight into the destination
-            # arrays (out[key] is freshly np.zeros'd per batch, so the tail
-            # zeroing and the full-row buf->out copies of an intermediate
-            # buffer are both pure waste)
+            # ONE C++ scatter decode per batch, straight into the
+            # destination arrays (out[key] is freshly np.zeros'd per batch,
+            # so tail zeroing and intermediate-buffer copies are both pure
+            # waste; the single call keeps every file of the batch in one
+            # thread pool regardless of which array it lands in)
+            views = [out[key][k] for k in range(B) for key in keys]
+            lens, srs = native.batch_load_rows(
+                paths, views, peak_target=0.9, zero_tail=False
+            )
+            assert (srs[lens > 0] == 16000).all(), "expected 16 kHz corpus"
             for j, key in enumerate(keys):
-                lens, srs = native.batch_load(
-                    paths[j::n_per], out[key], peak_target=0.9, zero_tail=False
-                )
-                assert (srs[lens > 0] == 16000).all(), "expected 16 kHz corpus"
-                out[f"{key}_len"][:] = lens
+                out[f"{key}_len"][:] = lens[j::n_per]
         else:
             def load_one(arg):
                 k, j, key = arg
@@ -470,46 +472,49 @@ class EvalLoader:
             n_noise = self.num_test_mix - 1
 
             if native is not None:
-                # one C++ batch decode per target array (same runtime as the
+                # ONE C++ scatter decode per batch (same runtime as the
                 # train loader), straight into the destinations — mixed/gt
                 # are [nb, T16] and freshly zeroed, so no intermediate batch
                 # buffer or full-row copies; only the noises need a scratch
                 # ([nb, T, c] interleaves the noise axis last)
-                def _load_array(paths_a, dst):
-                    # eval wavs stay raw — peak_target<=0 disables the renorm
-                    # (reference :325-332 loads eval mixtures unnormalized)
-                    lens, srs = native.batch_load(
-                        paths_a, dst, peak_target=0.0, zero_tail=False
-                    )
-                    for j in np.nonzero(lens <= 0)[0]:
-                        # formats the C decoder skips: Python fallback, and
-                        # loud failure for genuinely unreadable files
-                        x, sr = read_wav(paths_a[int(j)])
-                        m = min(len(x), T16)
-                        dst[j, :m] = x[:m]
-                        lens[j], srs[j] = m, sr
-                    assert (srs == 16000).all(), "expected 16 kHz premixed eval wavs"
-                    return lens
-
-                noise_paths = [
-                    p
-                    for i in rows
-                    for p in ds.noise_paths_for(self.gt_paths[i], self.num_test_mix)
-                ]
-                mlens = _load_array([self.mix_paths[i] for i in rows], out["mixed"])
-                glens = _load_array([self.gt_paths[i] for i in rows], out["gt"])
+                n_per = 2 + n_noise  # mix, gt, noises...
                 nbuf = np.zeros((nb * n_noise, T16), np.float32)
-                nlens = _load_array(noise_paths, nbuf)
+                paths: list[str] = []
+                views: list[np.ndarray] = []
+                for k, i in enumerate(rows):
+                    gp = self.gt_paths[i]
+                    paths.append(self.mix_paths[i])
+                    views.append(out["mixed"][k])
+                    paths.append(gp)
+                    views.append(out["gt"][k])
+                    for c, npth in enumerate(
+                        ds.noise_paths_for(gp, self.num_test_mix)
+                    ):
+                        paths.append(npth)
+                        views.append(nbuf[k * n_noise + c])
+                # eval wavs stay raw — peak_target<=0 disables the renorm
+                # (reference :325-332 loads eval mixtures unnormalized)
+                lens, srs = native.batch_load_rows(
+                    paths, views, peak_target=0.0, zero_tail=False
+                )
+                for j in np.nonzero(lens <= 0)[0]:
+                    # formats the C decoder skips: Python fallback, and loud
+                    # failure for genuinely unreadable files
+                    x, sr = read_wav(paths[int(j)])
+                    m = min(len(x), T16)
+                    views[int(j)][:m] = x[:m]
+                    lens[j], srs[j] = m, sr
+                assert (srs == 16000).all(), "expected 16 kHz premixed eval wavs"
                 for k in range(nb):
-                    n = int(mlens[k])
+                    n = int(lens[k * n_per])
                     out["sp_len"][k] = n
-                    gl = int(glens[k])
+                    gl = int(lens[k * n_per + 1])
                     m = min(gl, n)  # gt trimmed to mix length
                     gt_len16[k] = m
                     if gl > m:  # direct decode wrote past the trim point
                         out["gt"][k, m:gl] = 0.0
                     for c in range(n_noise):
-                        m2 = min(int(nlens[k * n_noise + c]), n)
+                        m2 = min(int(lens[k * n_per + 2 + c]), n)
                         out["noises"][k, :m2, c] = nbuf[k * n_noise + c, :m2]
                 ctxs = list(
                     self.pool.map(
@@ -566,26 +571,46 @@ class EvalLoader:
 
 
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
-    """Background-thread prefetch so host decode overlaps device compute."""
+    """Background-thread prefetch so host decode overlaps device compute.
+
+    Abort-safe: if the consumer exits early (exception in its loop,
+    generator close), the worker notices via ``stop`` within 100 ms and
+    terminates instead of blocking forever on a full queue — otherwise every
+    aborted eval/train loop would leak a thread plus ``depth+1``
+    fully-materialized batches."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     END = object()
     err: list[BaseException] = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # surface loader failures to the consumer
             err.append(e)
         finally:
-            q.put(END)
+            _put(END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is END:
-            if err:
-                raise err[0]
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                if err:
+                    raise err[0]
+                break
+            yield item
+    finally:
+        stop.set()

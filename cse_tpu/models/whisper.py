@@ -752,8 +752,7 @@ class WhisperASR:
         # repetition structure zlib measures (documented approximation)
         return " ".join(f"w{int(t)}" for t in ids)
 
-    def transcribe_results(self, wav16k: jnp.ndarray, max_tokens: int = 224,
-                           lang_tokens: jnp.ndarray | None = None):
+    def transcribe_results(self, wav16k: jnp.ndarray, max_tokens: int = 224):
         """Full whisper.transcribe default policy over a batch of rows.
 
         Returns a list of per-row dicts: ``tokens`` (np.int32, trimmed),
@@ -780,25 +779,16 @@ class WhisperASR:
             n_win = -(-T // window)
             wav = jnp.pad(wav16k, ((0, 0), (0, n_win * window - T)))
             segs = wav.reshape(B * n_win, window)  # row-major: row b's windows
-            # every window encoded exactly once; language detection reuses
-            # row b's FIRST-window features from the same encoding
+            # every window encoded exactly once; language resolves ONCE per
+            # row from its FIRST window's features (upstream's single
+            # detect_language call before the seek loop) and is pinned for
+            # every later window — detecting per window would let a
+            # padding-heavy tail window decode under a different language
+            # prompt. _language_for handles the pinned-'en' case.
             audio = whisper_encode_jit(self.params, self._mel(segs), self.cfg)
-            if lang_tokens is None:
-                if self.language is None:
-                    # upstream detects language ONCE on the first 30 s mel
-                    # and pins it for every later segment (transcribe.py's
-                    # single detect_language call before the seek loop);
-                    # detecting per window would let a padding-heavy tail
-                    # window decode under a different language prompt
-                    first = audio.reshape(B, n_win, *audio.shape[1:])[:, 0]
-                    lang_tokens = jnp.repeat(
-                        self._language_for(first), n_win, axis=0
-                    )
-                else:
-                    lang_tokens = jnp.full(
-                        (B * n_win,), self.cfg.token_lang_en, jnp.int32
-                    )
-            seg_res = self._decode_rungs(audio, lang_tokens, max_tokens)
+            first = audio.reshape(B, n_win, *audio.shape[1:])[:, 0]
+            lang = jnp.repeat(self._language_for(first), n_win, axis=0)
+            seg_res = self._decode_rungs(audio, lang, max_tokens)
             return [
                 self._merge_windows(seg_res[b * n_win : (b + 1) * n_win])
                 for b in range(B)
@@ -806,8 +796,7 @@ class WhisperASR:
         # encode ONCE per window batch; all rungs + language detection reuse
         # the audio features (upstream caches audio_features the same way)
         audio = whisper_encode_jit(self.params, self._mel(wav16k), self.cfg)
-        lang = lang_tokens if lang_tokens is not None else self._language_for(audio)
-        return self._decode_rungs(audio, lang, max_tokens)
+        return self._decode_rungs(audio, self._language_for(audio), max_tokens)
 
     def _decode_rungs(self, audio: jnp.ndarray, lang: jnp.ndarray,
                       max_tokens: int) -> list[dict]:

@@ -188,13 +188,18 @@ int64_t cse_wav_info(const char* path, int32_t* sr_out) {
   return static_cast<int64_t>(data_size / (channels * (bits / 8)));
 }
 
-// Parallel batch decode into out[n_files, buf_len] (zero-padded), lengths and
-// sample rates per row. peak_target > 0 applies per-file peak normalization
-// (the reference's load-time `x / max|x| * 0.9`). Returns #successes.
-int32_t cse_batch_load(const char** paths, int32_t n_files, float* out,
-                       int64_t buf_len, int32_t* lens, int32_t* srs,
-                       float peak_target, int32_t n_threads,
-                       int32_t zero_tail) {
+// Parallel scatter decode: file i lands at rows[i] (buf_len floats each).
+// Rows are zero-padded past the decoded length only when zero_tail is set —
+// pass 0 ONLY for freshly calloc'd destinations (zero-mapped pages); failed
+// rows are ALWAYS fully zeroed. peak_target > 0 applies per-file peak
+// normalization (the reference's load-time `x / max|x| * 0.9`). Returns
+// #successes. The pointer form lets a caller decode one batch's worth of
+// files into SEVERAL destination arrays (mix/gt/noise...) with a single
+// thread pool spanning all of them.
+int32_t cse_batch_load_ptrs(const char** paths, int32_t n_files, float** rows,
+                            int64_t buf_len, int32_t* lens, int32_t* srs,
+                            float peak_target, int32_t n_threads,
+                            int32_t zero_tail) {
   std::atomic<int32_t> next(0), ok(0);
   if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
   if (n_threads > n_files) n_threads = n_files;
@@ -202,7 +207,7 @@ int32_t cse_batch_load(const char** paths, int32_t n_files, float* out,
     while (true) {
       int32_t i = next.fetch_add(1);
       if (i >= n_files) break;
-      float* row = out + static_cast<int64_t>(i) * buf_len;
+      float* row = rows[i];
       WavData w;
       if (!read_wav_file(paths[i], &w)) {
         // failed rows are always fully zeroed so callers never read stale
@@ -235,6 +240,18 @@ int32_t cse_batch_load(const char** paths, int32_t n_files, float* out,
   for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return ok.load();
+}
+
+// Contiguous-matrix form of the above: decode into out[n_files, buf_len].
+int32_t cse_batch_load(const char** paths, int32_t n_files, float* out,
+                       int64_t buf_len, int32_t* lens, int32_t* srs,
+                       float peak_target, int32_t n_threads,
+                       int32_t zero_tail) {
+  std::vector<float*> rows(n_files);
+  for (int32_t i = 0; i < n_files; ++i)
+    rows[i] = out + static_cast<int64_t>(i) * buf_len;
+  return cse_batch_load_ptrs(paths, n_files, rows.data(), buf_len, lens, srs,
+                             peak_target, n_threads, zero_tail);
 }
 
 // PCM_16 mono writer. Returns 1 on success.

@@ -31,11 +31,25 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the checked-out sources are newer than the built .so —
+    without this, a stale library silently keeps an OLD C ABI (ctypes has no
+    signature checking, so extra arguments would just be ignored)."""
+    try:
+        so = os.path.getmtime(_LIB_PATH)
+        return any(
+            os.path.getmtime(os.path.join(_DIR, f)) > so
+            for f in ("audio_io.cc", "Makefile")
+        )
+    except OSError:
+        return True
+
+
 def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_LIB_PATH) and not _build():
+    if (not os.path.exists(_LIB_PATH) or _stale()) and not _build():
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.cse_read_wav.restype = ctypes.c_int64
@@ -49,6 +63,13 @@ def _load():
     lib.cse_batch_load.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_float, ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.cse_batch_load_ptrs.restype = ctypes.c_int32
+    lib.cse_batch_load_ptrs.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_float, ctypes.c_int32, ctypes.c_int32,
     ]
@@ -106,6 +127,39 @@ def batch_load(
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     lib.cse_batch_load(
         arr, n, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), buf.shape[1],
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_float(peak_target), n_threads, int(zero_tail),
+    )
+    return lens, srs
+
+
+def batch_load_rows(
+    paths: list[str], rows: list[np.ndarray], peak_target: float = 0.9,
+    n_threads: int = 0, zero_tail: bool = True,
+):
+    """Scatter form of :func:`batch_load`: file i decodes into ``rows[i]``, a
+    1-D C-contiguous float32 view of a common length — so one call (and one
+    thread pool spanning ALL files) can fill rows of SEVERAL destination
+    arrays (mix/gt/noise...) in a single batch decode. Same length/sr/
+    zero_tail semantics as :func:`batch_load`."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    n = len(paths)
+    assert n == len(rows)
+    width = rows[0].shape[0]
+    ptrs = (ctypes.POINTER(ctypes.c_float) * n)()
+    for i, r in enumerate(rows):
+        assert (
+            r.dtype == np.float32 and r.ndim == 1 and r.shape[0] == width
+            and r.flags.c_contiguous
+        ), f"row {i}: need C-contiguous float32 [*{width}]"
+        ptrs[i] = r.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    lens = np.zeros(n, np.int32)
+    srs = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.cse_batch_load_ptrs(
+        arr, n, ptrs, width,
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_float(peak_target), n_threads, int(zero_tail),

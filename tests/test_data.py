@@ -172,6 +172,31 @@ def test_prefetch_propagates_worker_errors():
         list(it)
 
 
+def test_prefetch_consumer_abort_releases_worker():
+    """An aborted consumer (exception/close mid-loop) must release the
+    producer thread — otherwise every failed eval in a long-lived process
+    leaks a thread pinned on q.put plus depth+1 materialized batches."""
+    import itertools
+    import time
+
+    from cse_tpu.data.pipeline import prefetch
+
+    produced = []
+
+    def gen():
+        for i in itertools.count():
+            produced.append(i)
+            yield i
+
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 0
+    it.close()  # consumer aborts (same path as an exception in its loop)
+    time.sleep(0.4)  # > the worker's 100 ms stop-poll
+    n = len(produced)
+    time.sleep(0.3)
+    assert len(produced) == n, "producer kept running after consumer abort"
+
+
 def test_eval_loader_carries_16k_gt(corpus):
     """Eval batches keep a 16 kHz gt copy for ECAPA enrollment (the model-rate
     gt is 8 kHz; the speaker encoder consumes 16 kHz, reference :375-391)."""

@@ -63,6 +63,24 @@ def test_batch_load_missing_file(built, tmp_path, rng):
     assert lens[0] > 0 and lens[1] == 0
 
 
+def test_batch_load_rows_scatter(built, tmp_path, rng):
+    """The scatter form decodes each file into its own destination row view —
+    one call filling rows of SEVERAL arrays must match the contiguous form
+    file-for-file (lengths, samples, failure zeroing)."""
+    paths = _make_wavs(tmp_path, rng, n=4) + [str(tmp_path / "nope.wav")]
+    a = np.zeros((3, 6000), np.float32)  # rows 0,2,4 land here
+    b = np.zeros((2, 6000), np.float32)  # rows 1,3 land here
+    views = [a[0], b[0], a[1], b[1], a[2]]
+    lens, srs = audio_native.batch_load_rows(paths, views, peak_target=0.9,
+                                             zero_tail=False)
+    ref = np.zeros((5, 6000), np.float32)
+    rlens, rsrs = audio_native.batch_load(paths, ref, peak_target=0.9)
+    assert (lens == rlens).all() and (srs == rsrs).all()
+    for i, v in enumerate(views):
+        np.testing.assert_array_equal(v, ref[i], err_msg=f"row {i}")
+    assert lens[4] == 0 and np.all(a[2] == 0)  # failed row fully zeroed
+
+
 def test_batch_load_zero_tail_contract(built, tmp_path, rng):
     """zero_tail=True scrubs past each decoded length even in a dirty buffer;
     zero_tail=False leaves the tail untouched (only valid for fresh np.zeros
