@@ -26,6 +26,44 @@ import numpy as np
 REF_MIXTURES_PER_SEC_PER_GPU = 4.0  # documented estimate, see module docstring
 
 
+def _backend_responsive(probe_timeout_s: int = None, retries: int = None) -> bool:
+    """True iff JAX device initialization completes in this environment.
+
+    The axon TPU tunnel can wedge in a way that makes the FIRST backend touch
+    (``jax.devices()``) block forever rather than fail, which would leave the
+    driver's round-end bench run hanging with no artifact at all. Probing in a
+    subprocess keeps this process's backend untouched: a probe thread that
+    hangs inside backend init would poison the init lock for the main thread.
+
+    Retries (with a pause) cover a flapping tunnel; total worst-case budget is
+    ``retries * (probe_timeout_s + 30)`` ≈ 8 minutes before giving up.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if probe_timeout_s is None:
+        probe_timeout_s = int(os.environ.get("CSE_BENCH_PROBE_TIMEOUT", 90))
+    if retries is None:
+        retries = int(os.environ.get("CSE_BENCH_PROBE_RETRIES", 4))
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                timeout=probe_timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < retries - 1:
+            print("bench: device backend unresponsive (probe %d/%d), retrying"
+                  % (attempt + 1, retries), file=sys.stderr)
+            time.sleep(30)
+    return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8, help="mixtures per step (one chip)")
@@ -56,6 +94,21 @@ def main():
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+    elif not _backend_responsive():
+        # Emit an explicit, honest artifact instead of hanging the driver:
+        # value 0 cannot be mistaken for a measurement, and the unit string
+        # points at the last real-chip numbers (PERF.md / BENCH_r2).
+        print(json.dumps({
+            "metric": "train_throughput_contextual_extraction"
+            + ("_with_llm" if args.with_llm else ""),
+            "value": 0.0,
+            "unit": "UNMEASURED: TPU backend unresponsive after repeated "
+                    "probes (axon tunnel wedged); last measured real-chip "
+                    "numbers are in PERF.md (12.26 mixtures/s/chip, "
+                    "--with_llm 8.01)",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     from cse_tpu.models import Sepformer, SepformerConfig
     from cse_tpu.train.optimizer import build_optimizer
