@@ -57,6 +57,10 @@ class CascadedSelector:
         return ",".join(parts)
 
     def _decode_text(self, token_ids) -> str:
+        # transcribe_results tokens interleave timestamp/special ids (>= EOT)
+        # with text under the default timestamped decode; drop them like
+        # whisper's tokenizer.decode does before the transcript is scored
+        token_ids = [int(t) for t in token_ids if int(t) < self.asr.cfg.eot]
         if self.wtok is not None:
             return self.wtok.decode(token_ids).lstrip()
         # pseudo-text stand-in: stable per-token words (plumbing smoke only)

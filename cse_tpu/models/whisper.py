@@ -300,18 +300,25 @@ _SPACE_TOKEN = 220
 # whisper multilingual tokenizers carry 99 language tokens, contiguous from
 # <|en|> (50259) up to (but excluding) <|translate|> (50358)
 _N_LANGUAGES = 99
+# whisper.transcribe's max_initial_timestamp=1.0 s at 0.02 s/token precision
+# (DecodingTask: round(max_initial_timestamp / precision))
+MAX_INITIAL_TIMESTAMP_INDEX = 50
 
 
-def _suppress_masks(cfg: WhisperConfig, suppress_ids: tuple):
-    """(never_mask, first_mask): whisper's SuppressTokens + the timestamp
-    range (the prompt pins <|notimestamps|>), and SuppressBlank — the space
-    token and EOT barred at the first content position."""
+def _suppress_masks(cfg: WhisperConfig, suppress_ids: tuple,
+                    timestamps: bool = False):
+    """(never_mask, first_mask): whisper's SuppressTokens (control tokens +
+    the caller's non-speech set) and SuppressBlank — the space token and EOT
+    barred at the first content position. ``timestamps=False`` additionally
+    bars the whole timestamp range (the prompt pins <|notimestamps|>);
+    ``timestamps=True`` leaves it open for ApplyTimestampRules, which handles
+    <|notimestamps|> itself (already in the control list here)."""
     never = np.zeros(cfg.n_vocab, np.float32)
     control = [cfg.sot, cfg.token_translate, cfg.token_transcribe,
                cfg.token_sot_lm, cfg.token_sot_prev, cfg.token_nospeech,
                cfg.token_notimestamps]
     never[[t for t in control if t < cfg.n_vocab]] = -np.inf
-    if cfg.timestamp_begin < cfg.n_vocab:
+    if not timestamps and cfg.timestamp_begin < cfg.n_vocab:
         never[cfg.timestamp_begin:] = -np.inf
     for t in suppress_ids:
         if 0 <= t < cfg.n_vocab:
@@ -353,6 +360,7 @@ def whisper_decode(
     key: jnp.ndarray,
     max_tokens: int = 224,
     suppress_ids: tuple = (),
+    timestamps: bool = False,
 ):
     """Encode + one decode pass (convenience wrapper over
     ``whisper_encode_jit`` -> ``whisper_decode_audio``)."""
@@ -360,10 +368,12 @@ def whisper_decode(
     return whisper_decode_audio(
         params, audio, cfg, language_tokens, temperature, key,
         max_tokens=max_tokens, suppress_ids=suppress_ids,
+        timestamps=timestamps,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_tokens", "suppress_ids"))
+@partial(jax.jit,
+         static_argnames=("cfg", "max_tokens", "suppress_ids", "timestamps"))
 def whisper_decode_audio(
     params: dict,
     audio: jnp.ndarray,
@@ -373,11 +383,24 @@ def whisper_decode_audio(
     key: jnp.ndarray,
     max_tokens: int = 224,
     suppress_ids: tuple = (),
+    timestamps: bool = False,
 ):
     """One decode pass at a (traced) temperature over PRE-ENCODED audio
     features [B, 1500, D] (``whisper_encode_jit``).
 
-    Prompt = [SOT, lang, transcribe, notimestamps] per row; stops at EOT.
+    ``timestamps=False``: prompt = [SOT, lang, transcribe, notimestamps] per
+    row; the timestamp range is suppressed outright. ``timestamps=True``
+    matches ``whisper.transcribe``'s default (``without_timestamps=False``,
+    `/root/reference/test_cascaded.py:224`): prompt = [SOT, lang, transcribe]
+    and whisper's ApplyTimestampRules run as in-graph logit masks each step —
+    timestamps appear in pairs (after a lone timestamp only a timestamp/EOT
+    may follow; after a closed pair the next token is text), never decrease
+    (strictly increase across segments), the first sampled token must be a
+    timestamp within ``max_initial_timestamp`` (1.0 s), and whenever the
+    total timestamp probability beats every text token, text is masked so a
+    timestamp is sampled. Returned ``tokens`` then interleave timestamp ids
+    (>= ``cfg.timestamp_begin``) with text, exactly like
+    ``DecodingResult.tokens``; stops at EOT either way.
     ``temperature == 0`` takes the argmax (whisper GreedyDecoder with t=0);
     ``temperature > 0`` samples from softmax(logits / t) — both live in one
     compiled program so the transcribe fallback ladder never recompiles.
@@ -392,18 +415,17 @@ def whisper_decode_audio(
       (whisper reads it at the SOT index of the initial forward).
     """
     B = audio.shape[0]
-    never_mask, first_mask = _suppress_masks(cfg, suppress_ids)
+    never_mask, first_mask = _suppress_masks(cfg, suppress_ids, timestamps)
     audio_kv = _cross_kv(params, audio, cfg)
 
-    prompt = jnp.stack(
-        [
-            jnp.full((B,), cfg.sot, jnp.int32),
-            language_tokens.astype(jnp.int32),
-            jnp.full((B,), cfg.token_transcribe, jnp.int32),
-            jnp.full((B,), cfg.token_notimestamps, jnp.int32),
-        ],
-        axis=1,
-    )  # [B, 4]
+    cols = [
+        jnp.full((B,), cfg.sot, jnp.int32),
+        language_tokens.astype(jnp.int32),
+        jnp.full((B,), cfg.token_transcribe, jnp.int32),
+    ]
+    if not timestamps:
+        cols.append(jnp.full((B,), cfg.token_notimestamps, jnp.int32))
+    prompt = jnp.stack(cols, axis=1)  # [B, P]
     P = prompt.shape[1]
 
     D = cfg.n_text_state
@@ -414,19 +436,66 @@ def whisper_decode_audio(
     out0 = jnp.full((B, max_tokens), cfg.eot, jnp.int32)
     temperature = jnp.asarray(temperature, jnp.float32)
 
+    ts_begin = cfg.timestamp_begin
+    vocab_ids = jnp.arange(cfg.n_vocab)
+
     def cond(state):
         i = state[0]
         done = state[4]
         return (i < P + max_tokens - 1) & (~jnp.all(done))
 
+    def _timestamp_rules(logits, i, tok, out, ts_last, has_ts):
+        """whisper ApplyTimestampRules (decoding.py) as vector masks.
+
+        ``s`` is the sampled-sequence length so far (the index about to be
+        sampled); ``tok`` is the latest sampled token (when s >= 1) and
+        ``out[:, s-2]`` the one before it. A sequence shorter than 2 counts
+        its penultimate slot as a timestamp, exactly upstream's
+        ``len(seq) < 2 or seq[-2] >= timestamp_begin``."""
+        s = i + 1 - P
+        neg = jnp.float32(-np.inf)
+        is_ts_col = vocab_ids >= ts_begin  # [V]
+        last_was_ts = (s >= 1) & (tok >= ts_begin)  # [B]
+        pen = out[jnp.arange(B), jnp.maximum(s - 2, 0)]
+        pen_was_ts = (s < 2) | (pen >= ts_begin)  # [B]
+        # pairing: after a closed pair the next token is non-timestamp;
+        # after a lone timestamp only a timestamp or EOT may follow
+        logits = jnp.where(
+            (last_was_ts & pen_was_ts)[:, None] & is_ts_col, neg, logits)
+        logits = jnp.where(
+            (last_was_ts & ~pen_was_ts)[:, None] & (vocab_ids < cfg.eot),
+            neg, logits)
+        # monotonic: bar timestamps below the last one seen (equal allowed
+        # only when closing an open pair — upstream's timestamp_last vs +1)
+        bound = jnp.where(last_was_ts & ~pen_was_ts, ts_last, ts_last + 1)
+        logits = jnp.where(
+            has_ts[:, None] & is_ts_col & (vocab_ids < bound[:, None]),
+            neg, logits)
+        # first sampled position: timestamps only, capped at 1.0 s
+        init = s == 0
+        logits = jnp.where(init & ~is_ts_col, neg, logits)
+        logits = jnp.where(
+            init & (vocab_ids > ts_begin + MAX_INITIAL_TIMESTAMP_INDEX),
+            neg, logits)
+        # if total timestamp probability beats every text token, force one
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        ts_lp = jax.nn.logsumexp(
+            jnp.where(is_ts_col, lp, neg), axis=-1)  # [B]
+        max_text_lp = jnp.max(jnp.where(is_ts_col, neg, lp), axis=-1)
+        logits = jnp.where(
+            (ts_lp > max_text_lp)[:, None] & ~is_ts_col, neg, logits)
+        return logits
+
     def body(state):
-        i, tok, kv, out, done, sum_lp, nsp = state
+        i, tok, kv, out, done, sum_lp, nsp, ts_last, has_ts = state
         raw, kv = _decoder_step(params, cfg, tok, i, kv, audio_kv)
         nsp = jnp.where(
             i == 0, jax.nn.softmax(raw, axis=-1)[:, cfg.token_nospeech], nsp
         )
         logits = raw + never_mask
         logits = jnp.where(i + 1 == P, logits + first_mask, logits)
+        if timestamps:
+            logits = _timestamp_rules(logits, i, tok, out, ts_last, has_ts)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         sampled = jax.random.categorical(
             jax.random.fold_in(key, i), logits / jnp.maximum(temperature, 1e-6)
@@ -445,7 +514,10 @@ def whisper_decode_audio(
             out,
         )
         done = done | (~in_prompt & (nxt == cfg.eot))
-        return i + 1, nxt, kv, out, done, sum_lp, nsp
+        new_ts = take & (nxt >= ts_begin)
+        ts_last = jnp.where(new_ts, nxt, ts_last)
+        has_ts = has_ts | new_ts
+        return i + 1, nxt, kv, out, done, sum_lp, nsp, ts_last, has_ts
 
     state = (
         jnp.asarray(0),
@@ -455,8 +527,10 @@ def whisper_decode_audio(
         jnp.zeros((B,), bool),
         jnp.zeros((B,), jnp.float32),
         jnp.zeros((B,), jnp.float32),
+        jnp.full((B,), ts_begin, jnp.int32),
+        jnp.zeros((B,), bool),
     )
-    _, _, _, out, _, sum_lp, nsp = jax.lax.while_loop(cond, body, state)
+    _, _, _, out, _, sum_lp, nsp, _, _ = jax.lax.while_loop(cond, body, state)
     lengths = jnp.argmax(out == cfg.eot, axis=-1)
     lengths = jnp.where(jnp.any(out == cfg.eot, axis=-1), lengths, max_tokens)
     return out, lengths, sum_lp, nsp
@@ -673,23 +747,105 @@ def is_silent(avg_logprob: float, no_speech_prob: float) -> bool:
     return skip
 
 
+# seconds per mel frame (hop 160 @ 16 kHz) and per timestamp token (2 frames)
+_FRAME_SECONDS = _WHISPER_HOP / 16000.0
+_INPUT_STRIDE = 2
+TIME_PRECISION = _FRAME_SECONDS * _INPUT_STRIDE  # 0.02 s
+
+
+def parse_seek_window(tokens, silent: bool, seek: int, segment_size: int,
+                      cfg: WhisperConfig):
+    """whisper.transcribe's per-window seek/segment logic (transcribe.py's
+    ``consecutive`` / ``single_timestamp_ending`` block).
+
+    ``tokens`` is one window's sampled sequence (timestamp ids interleaved
+    with text), ``seek`` the window's start and ``segment_size`` its extent,
+    both in mel frames. Returns ``(advance_frames, segments)``:
+
+    - a silent window is skipped whole (no segments, advance the full
+      extent);
+    - tokens are cut at every consecutive-timestamp pair into closed
+      segments; if the window ends with a lone timestamp
+      (``single_timestamp_ending``) there is no speech after it, so the
+      trailing piece is a final closed segment and the seek advances the
+      full extent; otherwise the unfinished trailing piece is DISCARDED and
+      the seek advances to the last closed segment's end timestamp;
+    - with no consecutive pair at all, all tokens form one segment whose end
+      falls back to the last decoded timestamp (if any beyond 0.00), and the
+      seek advances the full extent.
+
+    Segment start/end are absolute seconds (``seek`` offset included). A
+    non-positive computed advance (a window closing at its own 0.00 mark,
+    which would stall upstream's loop too) falls back to the full extent.
+    """
+    tb = cfg.timestamp_begin
+    time_offset = seek * _FRAME_SECONDS
+    if silent:
+        return segment_size, []
+    toks = [int(t) for t in tokens]
+    is_ts = [t >= tb for t in toks]
+    single_ending = len(toks) >= 2 and (not is_ts[-2]) and is_ts[-1]
+    consecutive = [i + 1 for i in range(len(toks) - 1)
+                   if is_ts[i] and is_ts[i + 1]]
+    segs = []
+    if consecutive:
+        slices = list(consecutive)
+        if single_ending:
+            slices.append(len(toks))
+        last = 0
+        for cur in slices:
+            st = toks[last:cur]
+            segs.append({
+                "start": time_offset + (st[0] - tb) * TIME_PRECISION,
+                "end": time_offset + (st[-1] - tb) * TIME_PRECISION,
+                "tokens": np.asarray(st, np.int32),
+            })
+            last = cur
+        if single_ending:
+            advance = segment_size
+        else:
+            advance = (toks[last - 1] - tb) * _INPUT_STRIDE
+    else:
+        duration = segment_size * _FRAME_SECONDS
+        ts = [t for t in toks if t >= tb]
+        if ts and ts[-1] != tb:
+            duration = (ts[-1] - tb) * TIME_PRECISION
+        segs.append({
+            "start": time_offset,
+            "end": time_offset + duration,
+            "tokens": np.asarray(toks, np.int32),
+        })
+        advance = segment_size
+    if advance <= 0:
+        advance = segment_size
+    return advance, segs
+
+
 class WhisperASR:
     """Batch transcriber: wav [B, T]@16k -> token ids / transcribe results.
 
     ``transcribe_tokens`` is the plain greedy pass; ``transcribe_results``
-    runs the full whisper.transcribe default policy (temperature fallback,
-    best-of-5 sampling, silence skip, optional language detection) around the
-    single compiled decode program. ``language=None`` auto-detects per row
-    like ``whisper.load_model("base").transcribe(sample)`` at
-    ``/root/reference/test_cascaded.py:224``.
+    runs the full whisper.transcribe default policy (timestamped decoding
+    under ApplyTimestampRules, temperature fallback, best-of-5 sampling,
+    silence skip, optional language detection) around the single compiled
+    decode program. ``language=None`` auto-detects per row like
+    ``whisper.load_model("base").transcribe(sample)`` at
+    ``/root/reference/test_cascaded.py:224``; ``without_timestamps=True``
+    reverts to the pinned-<|notimestamps|> program.
     """
 
     def __init__(self, weights_path: str | None = None, cfg: WhisperConfig | None = None,
                  params: dict | None = None, suppress_ids: tuple = (),
                  language: str | None = "en", text_fn=None, seed: int = 0,
                  temperatures: tuple = TRANSCRIBE_TEMPERATURES,
-                 best_of: int = BEST_OF):
+                 best_of: int = BEST_OF, without_timestamps: bool = False):
         self.cfg = cfg or WhisperConfig()
+        # whisper.transcribe's default is timestamped decoding
+        # (without_timestamps=False): ApplyTimestampRules shape every step's
+        # distribution, so even the TEXT of a transcript differs from a
+        # <|notimestamps|> decode. True reverts to the pinned-notimestamps
+        # program (e.g. token-level smoke tests).
+        self.timestamps = not without_timestamps
         self.suppress_ids = tuple(sorted(set(int(t) for t in suppress_ids)))
         if language not in (None, "en"):
             # only 'en' ships a pinned prompt id; mapping other codes to
@@ -740,10 +896,15 @@ class WhisperASR:
             self.params, audio, self.cfg, self._language_for(audio),
             jnp.asarray(0.0), jax.random.PRNGKey(self.seed),
             max_tokens=max_tokens, suppress_ids=self.suppress_ids,
+            timestamps=self.timestamps,
         )
         return np.asarray(toks), np.asarray(lens)
 
     def _text(self, ids: np.ndarray) -> str:
+        # text tokens only: upstream's tokenizer.decode drops specials and
+        # timestamp ids (everything >= EOT) before the strip + cr gate
+        ids = np.asarray(ids)
+        ids = ids[ids < self.cfg.eot]
         # upstream strips the decoded text BEFORE the compression-ratio gate
         # (DecodingTask: texts = [tokenizer.decode(t).strip() ...])
         if self.text_fn is not None:
@@ -763,40 +924,112 @@ class WhisperASR:
         so re-decoding the batch and accepting per row is behaviorally
         identical per row.
 
-        Rows longer than one 30 s window are split into fixed consecutive
-        windows, each decoded under the full per-segment policy, and merged
-        (silent windows emit no tokens, like whisper's segment skip; the
-        per-row dict gains a ``windows`` list). Deviation from
-        ``whisper.transcribe``, documented in COMPONENTS.md: upstream seeks
-        to the last decoded TIMESTAMP between windows, while this decode
-        pins <|notimestamps|> and advances by whole windows — identical when
-        speech doesn't straddle a 30 s boundary (and unreachable from the
-        cascade, whose eval utterances are <=30 s).
+        Rows longer than one 30 s window run upstream's SEEK loop
+        (``_transcribe_seek``): each window decodes under the full
+        per-segment policy, is cut into timestamp-delimited segments, and
+        the seek advances to the last closed segment's end timestamp (or the
+        whole window when it ends cleanly) — the per-row dict gains
+        ``windows`` (per-seek results) and ``segments`` (absolute-time
+        upstream-style segment list).
         """
         window = self.cfg.n_audio_ctx * 2 * _WHISPER_HOP
         B, T = wav16k.shape
         if T > window:
-            n_win = -(-T // window)
-            wav = jnp.pad(wav16k, ((0, 0), (0, n_win * window - T)))
-            segs = wav.reshape(B * n_win, window)  # row-major: row b's windows
-            # every window encoded exactly once; language resolves ONCE per
-            # row from its FIRST window's features (upstream's single
-            # detect_language call before the seek loop) and is pinned for
-            # every later window — detecting per window would let a
-            # padding-heavy tail window decode under a different language
-            # prompt. _language_for handles the pinned-'en' case.
-            audio = whisper_encode_jit(self.params, self._mel(segs), self.cfg)
-            first = audio.reshape(B, n_win, *audio.shape[1:])[:, 0]
-            lang = jnp.repeat(self._language_for(first), n_win, axis=0)
-            seg_res = self._decode_rungs(audio, lang, max_tokens)
-            return [
-                self._merge_windows(seg_res[b * n_win : (b + 1) * n_win])
-                for b in range(B)
-            ]
+            return self._transcribe_seek(wav16k, max_tokens)
         # encode ONCE per window batch; all rungs + language detection reuse
         # the audio features (upstream caches audio_features the same way)
         audio = whisper_encode_jit(self.params, self._mel(wav16k), self.cfg)
         return self._decode_rungs(audio, self._language_for(audio), max_tokens)
+
+    def _transcribe_seek(self, wav16k: jnp.ndarray, max_tokens: int):
+        """whisper.transcribe's long-form seek loop (transcribe.py) over a
+        batch of rows.
+
+        Each iteration decodes ONE 30 s window per still-active row from its
+        current seek offset (full temperature-ladder policy), cuts it into
+        segments with ``parse_seek_window``, and advances that row's seek to
+        the window's last closed timestamp (straddling speech re-decodes
+        from the cut, exactly upstream's behavior). Language resolves ONCE
+        from the first window (upstream's single detect_language call before
+        the loop) and is pinned for every later window. Rows seek
+        independently; finished rows ride along in the static-shape batch
+        (their decode is discarded) so every iteration reuses one compiled
+        program. Upstream slices a precomputed full-audio mel instead of
+        re-STFTing from the window's first sample — identical frame math,
+        boundary frames may differ in the last partial FFT window.
+
+        A window result's ``tokens``/``text`` are its SEGMENT tokens — the
+        discarded unfinished tail is NOT part of the transcript (it decodes
+        again after the seek); the raw sample sequence stays in
+        ``decoded_tokens``. Deviation (COMPONENTS.md): windows condition on
+        nothing (upstream feeds the previous window's text as a
+        ``condition_on_previous_text`` prompt).
+        """
+        cfg = self.cfg
+        frames_w = cfg.n_audio_ctx * 2
+        window = frames_w * _WHISPER_HOP
+        wav = np.asarray(wav16k, np.float32)
+        B, T = wav.shape
+        content_frames = -(-T // _WHISPER_HOP)
+        seek = np.zeros(B, np.int64)
+        # stall budget: timestamp-sized advances are legitimate (straddling
+        # speech) but degenerate decodes could crawl 2 frames at a time;
+        # past ~2x the no-overlap window count a row advances whole windows
+        # (upstream has no such guard and can crawl arbitrarily slowly)
+        budget = 2 * (-(-content_frames // frames_w)) + 8
+        n_win = np.zeros(B, np.int64)
+        lang = None
+        win_results: list[list[dict]] = [[] for _ in range(B)]
+        segments: list[list[dict]] = [[] for _ in range(B)]
+        while (seek < content_frames).any():
+            rows = np.zeros((B, window), np.float32)
+            for b in range(B):
+                chunk = wav[b, int(seek[b]) * _WHISPER_HOP:][:window]
+                rows[b, : len(chunk)] = chunk
+            audio = whisper_encode_jit(
+                self.params, self._mel(jnp.asarray(rows)), cfg)
+            if lang is None:
+                lang = self._language_for(audio)
+            res = self._decode_rungs(audio, lang, max_tokens)
+            for b in range(B):
+                if seek[b] >= content_frames:
+                    continue
+                segment_size = min(frames_w, content_frames - int(seek[b]))
+                r = dict(res[b], seek=int(seek[b]))
+                advance, segs = parse_seek_window(
+                    r["tokens"], r["silent"], int(seek[b]), segment_size, cfg)
+                n_win[b] += 1
+                if n_win[b] > budget:
+                    advance = segment_size
+                # a decoded timestamp can't exceed the window at the real
+                # config (1500 ts tokens == 3000 frames) — the clamp only
+                # bites on shrunken test configs whose window is shorter
+                # than the vocab's timestamp range
+                advance = min(advance, segment_size)
+                r["decoded_tokens"] = r["tokens"]
+                r["tokens"] = (
+                    np.concatenate([s["tokens"] for s in segs])
+                    if segs else np.zeros(0, np.int32)
+                )
+                if self.text_fn is not None:
+                    r["text"] = self._text(r["tokens"])
+                for s in segs:
+                    s["text"] = self._text(s["tokens"])
+                    s.update(
+                        temperature=r["temperature"],
+                        avg_logprob=r["avg_logprob"],
+                        compression_ratio=r["compression_ratio"],
+                        no_speech_prob=r["no_speech_prob"],
+                    )
+                win_results[b].append(r)
+                segments[b].extend(segs)
+                seek[b] += advance
+        out = []
+        for b in range(B):
+            merged = self._merge_windows(win_results[b])
+            merged["segments"] = segments[b]
+            out.append(merged)
+        return out
 
     def _decode_rungs(self, audio: jnp.ndarray, lang: jnp.ndarray,
                       max_tokens: int) -> list[dict]:
@@ -813,6 +1046,7 @@ class WhisperASR:
                     self.params, audio, self.cfg, lang,
                     jnp.asarray(0.0), jax.random.PRNGKey(self.seed),
                     max_tokens=max_tokens, suppress_ids=self.suppress_ids,
+                    timestamps=self.timestamps,
                 )
                 toks, lens, slp, nsp = map(np.asarray, (toks, lens, slp, nsp))
             else:
@@ -825,6 +1059,7 @@ class WhisperASR:
                     self.params, audio_k, self.cfg, jnp.repeat(lang, k, axis=0),
                     jnp.asarray(t), jax.random.PRNGKey(self.seed * 1000 + ti),
                     max_tokens=max_tokens, suppress_ids=self.suppress_ids,
+                    timestamps=self.timestamps,
                 )
                 toks5, lens5, slp5, nsp5 = map(np.asarray, (toks5, lens5, slp5, nsp5))
                 score = slp5 / np.maximum(lens5, 1)

@@ -128,7 +128,12 @@ def test_real_whisper_transcribes_and_gates():
     t = np.arange(3 * sr) / sr
     tone = (0.1 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
     silence = np.zeros(3 * sr, np.float32)
-    res = asr.transcribe_results(jnp.asarray(np.stack([tone, silence])))
+    # 48 tokens bounds the fabricated-weights selftest (random weights fail
+    # every gate, so the FULL ladder runs: 26 base-size decodes on CPU);
+    # ample for the real model's transcript of a 3 s tone/silence
+    res = asr.transcribe_results(
+        jnp.asarray(np.stack([tone, silence])), max_tokens=48
+    )
     if not _SELFTEST:
         # the real model must recognize silence as nospeech w/ high probability
         assert res[1]["no_speech_prob"] > 0.3, res[1]
