@@ -98,14 +98,18 @@ def main():
         # Emit an explicit, honest artifact instead of hanging the driver:
         # value 0 cannot be mistaken for a measurement, and the unit string
         # points at the last real-chip numbers (PERF.md / BENCH_r2).
+        if args.infer:
+            metric = "inference_rtf_contextual_extraction"
+        else:
+            metric = ("train_throughput_contextual_extraction"
+                      + ("_with_llm" if args.with_llm else ""))
         print(json.dumps({
-            "metric": "train_throughput_contextual_extraction"
-            + ("_with_llm" if args.with_llm else ""),
+            "metric": metric,
             "value": 0.0,
             "unit": "UNMEASURED: TPU backend unresponsive after repeated "
                     "probes (axon tunnel wedged); last measured real-chip "
                     "numbers are in PERF.md (12.26 mixtures/s/chip, "
-                    "--with_llm 8.01)",
+                    "--with_llm 8.01, --infer 671.5x RT)",
             "vs_baseline": 0.0,
         }))
         return

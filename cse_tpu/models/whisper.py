@@ -990,7 +990,8 @@ class WhisperASR:
                 self.params, self._mel(jnp.asarray(rows)), cfg)
             if lang is None:
                 lang = self._language_for(audio)
-            res = self._decode_rungs(audio, lang, max_tokens)
+            res = self._decode_rungs(
+                audio, lang, max_tokens, active_rows=seek < content_frames)
             for b in range(B):
                 if seek[b] >= content_frames:
                     continue
@@ -1032,13 +1033,20 @@ class WhisperASR:
         return out
 
     def _decode_rungs(self, audio: jnp.ndarray, lang: jnp.ndarray,
-                      max_tokens: int) -> list[dict]:
+                      max_tokens: int, active_rows=None) -> list[dict]:
         """The temperature ladder over pre-encoded audio features [B, .., D]
-        (the policy engine shared by the single-window and long-form paths)."""
+        (the policy engine shared by the single-window and long-form paths).
+
+        ``active_rows`` (seek path): rows NOT listed ride along in the
+        static-shape batch but never gate retries — otherwise one finished
+        row's zero-padded window failing the quality gates would drag the
+        whole batch through every sampled rung on every remaining iteration.
+        Their results stay None."""
         B = audio.shape[0]
         audio_k = None  # best_of-tiled features, built on first sampled rung
         results: list[dict | None] = [None] * B
-        pending = list(range(B))
+        pending = (list(range(B)) if active_rows is None
+                   else [b for b in range(B) if active_rows[b]])
         temperatures = self.temperatures
         for ti, t in enumerate(temperatures):
             if t == 0.0:
@@ -1107,8 +1115,12 @@ class WhisperASR:
             if voiced
             else np.zeros(0, np.int32)
         )
-        n_total = sum(len(r["tokens"]) for r in rs)
-        sum_lp = sum(r["avg_logprob"] * (len(r["tokens"]) + 1) for r in rs)
+        # avg_logprob inverts with the DECODED length (the seek path rewrote
+        # ``tokens`` to segment-only ids; each window's sum_logprob was
+        # accumulated over its raw sample sequence, kept in decoded_tokens)
+        n_dec = [len(r.get("decoded_tokens", r["tokens"])) for r in rs]
+        n_total = sum(n_dec)
+        sum_lp = sum(r["avg_logprob"] * (n + 1) for r, n in zip(rs, n_dec))
         text = None
         if self.text_fn is not None:
             text = " ".join(t for t in (r["text"] for r in voiced) if t)
