@@ -242,17 +242,31 @@ def whisper_encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.nd
     return _ln(x, params["enc_ln_post"])
 
 
-def _decoder_step(params, cfg, tokens, pos, kv_cache, audio_kv):
+def _decoder_step(params, cfg, tokens, pos, kv_cache, audio_kv, offset=None):
     """One decoder position with cached self-attn K/V.
 
-    tokens: [B] current token; pos: scalar position; kv_cache: dict of
+    tokens: [B] current token; pos: scalar cache SLOT; kv_cache: dict of
     [n_layer, B, n_text_ctx, D] K/V buffers; audio_kv: precomputed cross K/V.
     Returns (logits [B, V], new kv_cache).
+
+    ``offset`` [B] (optional) supports RIGHT-ALIGNED prompts of per-row
+    length in one static-shape program (condition_on_previous_text): row b's
+    first real token lives at slot ``offset[b]``, its position embedding is
+    ``pos - offset[b]`` (clamped for the left-pad slots, whose K/V are
+    masked out of attention permanently), and slots below the offset never
+    become visible.
     """
     B = tokens.shape[0]
     D, H = cfg.n_text_state, cfg.n_text_head
-    x = params["tok_emb"][tokens] + params["pos_emb"][pos]  # [B, D]
+    emb_pos = pos if offset is None else jnp.maximum(pos - offset, 0)
+    x = params["tok_emb"][tokens] + params["pos_emb"][emb_pos]  # [B, D]
     x = x[:, None, :]  # [B, 1, D]
+
+    slots = jnp.arange(cfg.n_text_ctx)
+    mask = (slots <= pos)[None, :]
+    if offset is not None:
+        mask = mask & (slots[None, :] >= offset[:, None])
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
 
     new_k, new_v = [], []
     for li in range(cfg.n_text_layer):
@@ -265,9 +279,7 @@ def _decoder_step(params, cfg, tokens, pos, kv_cache, audio_kv):
         v_buf = jax.lax.dynamic_update_slice(kv_cache["v"][li], v_new, (0, pos, 0))
         new_k.append(k_buf)
         new_v.append(v_buf)
-        mask = (jnp.arange(cfg.n_text_ctx) <= pos)[None, None, None, :]
-        bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
-        attn = _attn_cached(q, k_buf, v_buf, H, bias)
+        attn = _attn_cached(q, k_buf, v_buf, H, bias)  # bias masks pad slots
         x = x + (attn @ lp["attn"]["o_w"] + lp["attn"]["o_b"])
         h = _ln(x, lp["ln2"])
         qc = h @ lp["cross"]["q_w"] + lp["cross"]["q_b"]
@@ -373,7 +385,8 @@ def whisper_decode(
 
 
 @partial(jax.jit,
-         static_argnames=("cfg", "max_tokens", "suppress_ids", "timestamps"))
+         static_argnames=("cfg", "max_tokens", "suppress_ids", "timestamps",
+                          "prev_budget"))
 def whisper_decode_audio(
     params: dict,
     audio: jnp.ndarray,
@@ -384,6 +397,9 @@ def whisper_decode_audio(
     max_tokens: int = 224,
     suppress_ids: tuple = (),
     timestamps: bool = False,
+    prev_budget: int = 0,
+    prev_tokens: jnp.ndarray | None = None,
+    prev_lens: jnp.ndarray | None = None,
 ):
     """One decode pass at a (traced) temperature over PRE-ENCODED audio
     features [B, 1500, D] (``whisper_encode_jit``).
@@ -413,6 +429,18 @@ def whisper_decode_audio(
       avg_logprob = sum_logprob / (length + 1) on the host.
     - ``no_speech_prob`` is softmax(raw logits at the SOT step)[<|nospeech|>]
       (whisper reads it at the SOT index of the initial forward).
+
+    ``prev_budget > 0`` enables ``condition_on_previous_text``: the prompt
+    becomes ``[<|startofprev|>, prev..., SOT, lang, transcribe(,
+    notimestamps)]`` like upstream's prompt path. ``prev_tokens``
+    [B, prev_budget] holds each row's previous-text tokens RIGHT-aligned
+    (left cells = any filler) and ``prev_lens`` [B] their counts
+    (``<= prev_budget - 1``; crop to ``n_text_ctx // 2 - 1`` like upstream).
+    Rows differ in length inside ONE static-shape program: the left-pad
+    slots are masked out of self-attention permanently and position
+    embeddings start at 0 from each row's own <|startofprev|>; a row with
+    ``prev_lens == 0`` sees no prefix at all (upstream omits the prompt
+    entirely when it's empty).
     """
     B = audio.shape[0]
     never_mask, first_mask = _suppress_masks(cfg, suppress_ids, timestamps)
@@ -425,8 +453,32 @@ def whisper_decode_audio(
     ]
     if not timestamps:
         cols.append(jnp.full((B,), cfg.token_notimestamps, jnp.int32))
-    prompt = jnp.stack(cols, axis=1)  # [B, P]
+    base = jnp.stack(cols, axis=1)  # [B, base_P]
+    if prev_budget > 0:
+        prev_lens = prev_lens.astype(jnp.int32)
+        pcols = jnp.arange(prev_budget)
+        # the filler cell just left of each row's real tokens doubles as its
+        # genuine <|startofprev|>; everything left of THAT stays masked
+        prefix = jnp.where(
+            pcols[None, :] >= prev_budget - prev_lens[:, None],
+            prev_tokens.astype(jnp.int32), cfg.token_sot_prev)
+        prompt = jnp.concatenate([prefix, base], axis=1)
+        # rows with no previous text attend to nothing before SOT
+        offset = jnp.where(
+            prev_lens > 0, prev_budget - prev_lens - 1, prev_budget)
+    else:
+        prompt = base
+        offset = None
     P = prompt.shape[1]
+    sot_slot = P - base.shape[1]  # where <|nospeech|> is read (SOT input)
+    # upstream stops sampling at n_text_ctx; clamp so the KV cache can never
+    # wrap (dynamic_update_slice would silently clamp-overwrite slot T-1).
+    # The returned token array keeps the requested width (EOT-filled tail).
+    steps = min(max_tokens, cfg.n_text_ctx - P)
+    assert steps >= 1, (
+        f"prompt ({P}) leaves no sampling room in n_text_ctx "
+        f"({cfg.n_text_ctx})"
+    )
 
     D = cfg.n_text_state
     kv0 = {
@@ -442,7 +494,7 @@ def whisper_decode_audio(
     def cond(state):
         i = state[0]
         done = state[4]
-        return (i < P + max_tokens - 1) & (~jnp.all(done))
+        return (i < P + steps - 1) & (~jnp.all(done))
 
     def _timestamp_rules(logits, i, tok, out, ts_last, has_ts):
         """whisper ApplyTimestampRules (decoding.py) as vector masks.
@@ -488,9 +540,11 @@ def whisper_decode_audio(
 
     def body(state):
         i, tok, kv, out, done, sum_lp, nsp, ts_last, has_ts = state
-        raw, kv = _decoder_step(params, cfg, tok, i, kv, audio_kv)
+        raw, kv = _decoder_step(params, cfg, tok, i, kv, audio_kv,
+                                offset=offset)
         nsp = jnp.where(
-            i == 0, jax.nn.softmax(raw, axis=-1)[:, cfg.token_nospeech], nsp
+            i == sot_slot,
+            jax.nn.softmax(raw, axis=-1)[:, cfg.token_nospeech], nsp
         )
         logits = raw + never_mask
         logits = jnp.where(i + 1 == P, logits + first_mask, logits)
@@ -521,7 +575,7 @@ def whisper_decode_audio(
 
     state = (
         jnp.asarray(0),
-        jnp.full((B,), cfg.sot, jnp.int32),
+        prompt[:, 0],  # == SOT when unconditioned (sot_slot 0)
         kv0,
         out0,
         jnp.zeros((B,), bool),
@@ -838,8 +892,14 @@ class WhisperASR:
                  params: dict | None = None, suppress_ids: tuple = (),
                  language: str | None = "en", text_fn=None, seed: int = 0,
                  temperatures: tuple = TRANSCRIBE_TEMPERATURES,
-                 best_of: int = BEST_OF, without_timestamps: bool = False):
+                 best_of: int = BEST_OF, without_timestamps: bool = False,
+                 condition_on_previous_text: bool = True):
         self.cfg = cfg or WhisperConfig()
+        # whisper.transcribe default: each long-form window's prompt carries
+        # the previous windows' text (reset after a rung hotter than
+        # prompt_reset_on_temperature=0.5). Single-window decodes have no
+        # previous text, so this only shapes the seek path.
+        self.condition_on_previous_text = bool(condition_on_previous_text)
         # whisper.transcribe's default is timestamped decoding
         # (without_timestamps=False): ApplyTimestampRules shape every step's
         # distribution, so even the TEXT of a transcript differs from a
@@ -961,9 +1021,13 @@ class WhisperASR:
         A window result's ``tokens``/``text`` are its SEGMENT tokens — the
         discarded unfinished tail is NOT part of the transcript (it decodes
         again after the seek); the raw sample sequence stays in
-        ``decoded_tokens``. Deviation (COMPONENTS.md): windows condition on
-        nothing (upstream feeds the previous window's text as a
-        ``condition_on_previous_text`` prompt).
+        ``decoded_tokens``. ``condition_on_previous_text`` (default, like
+        upstream): each window's prompt carries the accumulated segment
+        tokens (cropped to ``n_text_ctx // 2 - 1``) as a
+        ``<|startofprev|>`` prefix, reset whenever a window needed a rung
+        hotter than 0.5 — rows of different prompt lengths share one
+        static-shape decode program via right-aligned prompts with per-row
+        position offsets and permanently masked pad slots.
         """
         cfg = self.cfg
         frames_w = cfg.n_audio_ctx * 2
@@ -981,6 +1045,13 @@ class WhisperASR:
         lang = None
         win_results: list[list[dict]] = [[] for _ in range(B)]
         segments: list[list[dict]] = [[] for _ in range(B)]
+        # condition_on_previous_text: per-row prompt accumulator (segment
+        # tokens only, like upstream's all_tokens) with the
+        # prompt_reset_on_temperature=0.5 reset point
+        K = cfg.n_text_ctx // 2  # 1 (<|startofprev|>) + upstream's crop
+        prompt_toks: list[list[int]] = [[] for _ in range(B)]
+        max_tokens = min(max_tokens, cfg.n_text_ctx - K
+                         - (3 if self.timestamps else 4))
         while (seek < content_frames).any():
             rows = np.zeros((B, window), np.float32)
             for b in range(B):
@@ -990,8 +1061,19 @@ class WhisperASR:
                 self.params, self._mel(jnp.asarray(rows)), cfg)
             if lang is None:
                 lang = self._language_for(audio)
+            prev = None
+            if self.condition_on_previous_text:
+                pt = np.zeros((B, K), np.int32)
+                pl = np.zeros(B, np.int32)
+                for b in range(B):
+                    tail = prompt_toks[b][-(K - 1):]
+                    pl[b] = len(tail)
+                    if tail:
+                        pt[b, K - len(tail):] = tail
+                prev = (jnp.asarray(pt), jnp.asarray(pl))
             res = self._decode_rungs(
-                audio, lang, max_tokens, active_rows=seek < content_frames)
+                audio, lang, max_tokens, active_rows=seek < content_frames,
+                prev=prev)
             for b in range(B):
                 if seek[b] >= content_frames:
                     continue
@@ -1025,6 +1107,13 @@ class WhisperASR:
                 win_results[b].append(r)
                 segments[b].extend(segs)
                 seek[b] += advance
+                # upstream: all_tokens extends with the segment tokens, THEN
+                # a rung hotter than prompt_reset_on_temperature=0.5 moves
+                # the reset point past them — text that needed high
+                # temperature is a bad prompt, its own window included
+                prompt_toks[b].extend(int(t) for t in r["tokens"])
+                if r["temperature"] > 0.5:
+                    prompt_toks[b] = []
         out = []
         for b in range(B):
             merged = self._merge_windows(win_results[b])
@@ -1033,7 +1122,8 @@ class WhisperASR:
         return out
 
     def _decode_rungs(self, audio: jnp.ndarray, lang: jnp.ndarray,
-                      max_tokens: int, active_rows=None) -> list[dict]:
+                      max_tokens: int, active_rows=None,
+                      prev=None) -> list[dict]:
         """The temperature ladder over pre-encoded audio features [B, .., D]
         (the policy engine shared by the single-window and long-form paths).
 
@@ -1041,9 +1131,17 @@ class WhisperASR:
         static-shape batch but never gate retries — otherwise one finished
         row's zero-padded window failing the quality gates would drag the
         whole batch through every sampled rung on every remaining iteration.
-        Their results stay None."""
+        Their results stay None.
+
+        ``prev`` (seek path, condition_on_previous_text): a
+        ``(prev_tokens [B, K], prev_lens [B])`` pair handed unchanged to
+        every rung — upstream keeps the same prompt across a window's
+        fallback attempts too."""
         B = audio.shape[0]
         audio_k = None  # best_of-tiled features, built on first sampled rung
+        K = 0 if prev is None else prev[0].shape[1]
+        pkw = {} if prev is None else {
+            "prev_budget": K, "prev_tokens": prev[0], "prev_lens": prev[1]}
         results: list[dict | None] = [None] * B
         pending = (list(range(B)) if active_rows is None
                    else [b for b in range(B) if active_rows[b]])
@@ -1054,7 +1152,7 @@ class WhisperASR:
                     self.params, audio, self.cfg, lang,
                     jnp.asarray(0.0), jax.random.PRNGKey(self.seed),
                     max_tokens=max_tokens, suppress_ids=self.suppress_ids,
-                    timestamps=self.timestamps,
+                    timestamps=self.timestamps, **pkw,
                 )
                 toks, lens, slp, nsp = map(np.asarray, (toks, lens, slp, nsp))
             else:
@@ -1063,11 +1161,15 @@ class WhisperASR:
                 k = self.best_of
                 if audio_k is None:
                     audio_k = jnp.repeat(audio, k, axis=0)
+                pkw5 = {} if prev is None else {
+                    "prev_budget": K,
+                    "prev_tokens": jnp.repeat(prev[0], k, axis=0),
+                    "prev_lens": jnp.repeat(prev[1], k, axis=0)}
                 toks5, lens5, slp5, nsp5 = whisper_decode_audio(
                     self.params, audio_k, self.cfg, jnp.repeat(lang, k, axis=0),
                     jnp.asarray(t), jax.random.PRNGKey(self.seed * 1000 + ti),
                     max_tokens=max_tokens, suppress_ids=self.suppress_ids,
-                    timestamps=self.timestamps,
+                    timestamps=self.timestamps, **pkw5,
                 )
                 toks5, lens5, slp5, nsp5 = map(np.asarray, (toks5, lens5, slp5, nsp5))
                 score = slp5 / np.maximum(lens5, 1)

@@ -899,3 +899,122 @@ def test_without_timestamps_reverts_to_pinned_decode(rng):
     wav = jnp.asarray(rng.standard_normal((1, TINY.n_audio_ctx * 2 * 160)).astype(np.float32))
     toks, lens = asr.transcribe_tokens(wav, max_tokens=12)
     assert (toks[0, : lens[0]] < TINY.timestamp_begin).all()
+
+
+# ---------------------------------------------------------------------------
+# condition_on_previous_text (whisper.transcribe default prompt carry-over)
+# ---------------------------------------------------------------------------
+
+def test_conditioned_decode_matches_unpadded_replay(rng):
+    """The static-shape conditioned decode (right-aligned prompts, per-row
+    position offsets, masked pad slots) must equal an eager per-row replay
+    that feeds the TRUE variable-length prompt [<|startofprev|>, prev...,
+    SOT, lang, transcribe] with positions from 0 and no padding — for a row
+    WITH previous text and a row without, in the same batch."""
+    from cse_tpu.models.whisper import (
+        _cross_kv, _decoder_step, _suppress_masks, whisper_decode_audio,
+        whisper_encode,
+    )
+
+    params = jax.tree.map(jnp.asarray, random_whisper_params(TINY, seed=3))
+    mel = _mel(rng, 2)
+    audio = whisper_encode(params, mel, TINY)
+    K, max_tokens = 8, 6
+    prev_row1 = [4242, 911, 17, 50412, 29000]  # mixed text + a timestamp id
+    pt = np.zeros((2, K), np.int32)
+    pt[1, K - len(prev_row1):] = prev_row1
+    pl = np.asarray([0, len(prev_row1)], np.int32)
+
+    toks, lens, slp, nsp = whisper_decode_audio(
+        params, audio, TINY, jnp.full((2,), TINY.token_lang_en, jnp.int32),
+        jnp.asarray(0.0), jax.random.PRNGKey(0), max_tokens=max_tokens,
+        timestamps=True, prev_budget=K,
+        prev_tokens=jnp.asarray(pt), prev_lens=jnp.asarray(pl),
+    )
+    toks, lens, slp, nsp = map(np.asarray, (toks, lens, slp, nsp))
+
+    never, first = _suppress_masks(TINY, (), timestamps=True)
+    never = np.asarray(never)
+    base = [TINY.sot, TINY.token_lang_en, TINY.token_transcribe]
+    for b, prev in ((0, []), (1, prev_row1)):
+        prompt = ([TINY.token_sot_prev] + prev if prev else []) + base
+        audio_b = audio[b:b + 1]
+        audio_kv = _cross_kv(params, audio_b, TINY)
+        kv = {
+            "k": jnp.zeros((TINY.n_text_layer, 1, TINY.n_text_ctx,
+                            TINY.n_text_state)),
+            "v": jnp.zeros((TINY.n_text_layer, 1, TINY.n_text_ctx,
+                            TINY.n_text_state)),
+        }
+        P = len(prompt)
+        sot_idx = P - len(base)
+        want_toks, want_slp, want_nsp = [], 0.0, None
+        tok, sampled = prompt[0], []
+        for i in range(P + max_tokens - 1):
+            logits, kv = _decoder_step(
+                params, TINY, jnp.asarray([tok], jnp.int32), jnp.asarray(i),
+                kv, audio_kv)
+            lg = np.asarray(logits, np.float64)[0]
+            if i == sot_idx:
+                e = np.exp(lg - lg.max())
+                want_nsp = (e / e.sum())[TINY.token_nospeech]
+            if i + 1 < P:
+                tok = prompt[i + 1]
+                continue
+            lg = lg + never
+            if i + 1 == P:
+                lg = lg + np.asarray(first)
+            lg = _upstream_timestamp_rules(lg, sampled, TINY)
+            tok = int(np.argmax(lg))
+            x = lg - lg.max()
+            want_slp += (x - np.log(np.exp(x).sum()))[tok]
+            sampled.append(tok)
+            if tok == TINY.eot:
+                break
+        want_toks = sampled[:-1] if sampled and sampled[-1] == TINY.eot else sampled
+        n = int(lens[b])
+        assert toks[b, :n].tolist() == want_toks, (b, toks[b, :n], want_toks)
+        np.testing.assert_allclose(slp[b], want_slp, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(nsp[b], want_nsp, rtol=1e-4, atol=1e-5)
+
+
+def test_seek_conditions_on_previous_segments(rng, monkeypatch):
+    """The seek loop hands every window after the first the accumulated
+    segment tokens (right-aligned, cropped to n_text_ctx//2 - 1) and resets
+    the prompt after a >0.5-temperature window; condition_on_previous_text=
+    False passes no prompt at all."""
+    params = jax.tree.map(np.asarray, random_whisper_params(TINY))
+    window = TINY.n_audio_ctx * 2 * 160
+    wav = jnp.asarray(rng.standard_normal((1, 2 * window)).astype(np.float32))
+    K = TINY.n_text_ctx // 2
+
+    captured = []
+    orig = WhisperASR._decode_rungs
+
+    def spy(self, audio, lang, max_tokens, active_rows=None, prev=None):
+        captured.append(
+            None if prev is None
+            else (np.asarray(prev[0]).copy(), np.asarray(prev[1]).copy()))
+        return orig(self, audio, lang, max_tokens, active_rows, prev)
+
+    monkeypatch.setattr(WhisperASR, "_decode_rungs", spy)
+    asr = WhisperASR(params=params, cfg=TINY, temperatures=(0.0,), language="en")
+    res = asr.transcribe_results(wav, max_tokens=8)[0]
+    assert len(captured) >= 2
+    pt0, pl0 = captured[0]
+    assert (pl0 == 0).all()  # first window: no previous text
+    running = []
+    for i, w in enumerate(res["windows"][:-1]):
+        running.extend(int(t) for t in w["tokens"])
+        if w["temperature"] > 0.5:
+            running = []
+        want = running[-(K - 1):]
+        pt, pl = captured[i + 1]
+        assert pl[0] == len(want)
+        assert pt[0, K - len(want):].tolist() == want
+
+    captured.clear()
+    asr_off = WhisperASR(params=params, cfg=TINY, temperatures=(0.0,),
+                         language="en", condition_on_previous_text=False)
+    asr_off.transcribe_results(wav, max_tokens=8)
+    assert captured and all(c is None for c in captured)
