@@ -64,6 +64,13 @@ def _backend_responsive(probe_timeout_s: int = None, retries: int = None) -> boo
     return False
 
 
+def _metric_name(args) -> str:
+    if args.infer:
+        return "inference_rtf_contextual_extraction"
+    return ("train_throughput_contextual_extraction"
+            + ("_with_llm" if args.with_llm else ""))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8, help="mixtures per step (one chip)")
@@ -98,13 +105,8 @@ def main():
         # Emit an explicit, honest artifact instead of hanging the driver:
         # value 0 cannot be mistaken for a measurement, and the unit string
         # points at the last real-chip numbers (PERF.md / BENCH_r2).
-        if args.infer:
-            metric = "inference_rtf_contextual_extraction"
-        else:
-            metric = ("train_throughput_contextual_extraction"
-                      + ("_with_llm" if args.with_llm else ""))
         print(json.dumps({
-            "metric": metric,
+            "metric": _metric_name(args),
             "value": 0.0,
             "unit": "UNMEASURED: TPU backend unresponsive after repeated "
                     "probes (axon tunnel wedged); last measured real-chip "
@@ -199,8 +201,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_throughput_contextual_extraction"
-                + ("_with_llm" if args.with_llm else ""),
+                "metric": _metric_name(args),
                 "value": round(mixtures_per_sec, 3),
                 "unit": "mixtures/s/chip (%.3fs@8kHz, bf16, batch %d%s; %.1f audio-s/s%s)"
                 % (T / args.sr, B // n_chips, dp_note, audio_s_per_s, llm_note),
@@ -264,7 +265,7 @@ def _bench_infer(args, cfg, model, B, T):
     dt = (time.perf_counter() - t0) / args.steps
     rtf = (B * T / args.sr) / dt
     print(json.dumps({
-        "metric": "inference_rtf_contextual_extraction",
+        "metric": _metric_name(args),
         "value": round(rtf, 1),
         "unit": "x realtime (fused serving, batch %d, %.3fs@8kHz)" % (B, T / args.sr),
         "vs_baseline": None,

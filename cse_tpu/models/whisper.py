@@ -1050,8 +1050,6 @@ class WhisperASR:
         # prompt_reset_on_temperature=0.5 reset point
         K = cfg.n_text_ctx // 2  # 1 (<|startofprev|>) + upstream's crop
         prompt_toks: list[list[int]] = [[] for _ in range(B)]
-        max_tokens = min(max_tokens, cfg.n_text_ctx - K
-                         - (3 if self.timestamps else 4))
         while (seek < content_frames).any():
             rows = np.zeros((B, window), np.float32)
             for b in range(B):
@@ -1139,9 +1137,16 @@ class WhisperASR:
         fallback attempts too."""
         B = audio.shape[0]
         audio_k = None  # best_of-tiled features, built on first sampled rung
-        K = 0 if prev is None else prev[0].shape[1]
-        pkw = {} if prev is None else {
-            "prev_budget": K, "prev_tokens": prev[0], "prev_lens": prev[1]}
+
+        def pkw(rep: int = 1):  # prev-prompt kwargs, best_of-tiled on demand
+            if prev is None:
+                return {}
+            pt, pl = prev
+            if rep > 1:
+                pt, pl = jnp.repeat(pt, rep, axis=0), jnp.repeat(pl, rep)
+            return {"prev_budget": prev[0].shape[1],
+                    "prev_tokens": pt, "prev_lens": pl}
+
         results: list[dict | None] = [None] * B
         pending = (list(range(B)) if active_rows is None
                    else [b for b in range(B) if active_rows[b]])
@@ -1152,7 +1157,7 @@ class WhisperASR:
                     self.params, audio, self.cfg, lang,
                     jnp.asarray(0.0), jax.random.PRNGKey(self.seed),
                     max_tokens=max_tokens, suppress_ids=self.suppress_ids,
-                    timestamps=self.timestamps, **pkw,
+                    timestamps=self.timestamps, **pkw(),
                 )
                 toks, lens, slp, nsp = map(np.asarray, (toks, lens, slp, nsp))
             else:
@@ -1161,15 +1166,11 @@ class WhisperASR:
                 k = self.best_of
                 if audio_k is None:
                     audio_k = jnp.repeat(audio, k, axis=0)
-                pkw5 = {} if prev is None else {
-                    "prev_budget": K,
-                    "prev_tokens": jnp.repeat(prev[0], k, axis=0),
-                    "prev_lens": jnp.repeat(prev[1], k, axis=0)}
                 toks5, lens5, slp5, nsp5 = whisper_decode_audio(
                     self.params, audio_k, self.cfg, jnp.repeat(lang, k, axis=0),
                     jnp.asarray(t), jax.random.PRNGKey(self.seed * 1000 + ti),
                     max_tokens=max_tokens, suppress_ids=self.suppress_ids,
-                    timestamps=self.timestamps, **pkw5,
+                    timestamps=self.timestamps, **pkw(k),
                 )
                 toks5, lens5, slp5, nsp5 = map(np.asarray, (toks5, lens5, slp5, nsp5))
                 score = slp5 / np.maximum(lens5, 1)
