@@ -984,22 +984,18 @@ class WhisperASR:
         so re-decoding the batch and accepting per row is behaviorally
         identical per row.
 
-        Rows longer than one 30 s window run upstream's SEEK loop
-        (``_transcribe_seek``): each window decodes under the full
-        per-segment policy, is cut into timestamp-delimited segments, and
-        the seek advances to the last closed segment's end timestamp (or the
-        whole window when it ends cleanly) — the per-row dict gains
-        ``windows`` (per-seek results) and ``segments`` (absolute-time
-        upstream-style segment list).
+        EVERY row runs upstream's SEEK loop (``_transcribe_seek``) — even a
+        <=30 s utterance re-decodes its tail when the decode ends
+        mid-segment after a closed timestamp pair, and the unfinished tail
+        is dropped from the transcript, exactly like ``whisper.transcribe``
+        (one iteration in the common case of a cleanly-ending window). Each
+        window decodes under the full per-segment policy, is cut into
+        timestamp-delimited segments, and the seek advances to the last
+        closed segment's end timestamp (or the whole window when it ends
+        cleanly) — the per-row dict carries ``windows`` (per-seek results)
+        and ``segments`` (absolute-time upstream-style segment list).
         """
-        window = self.cfg.n_audio_ctx * 2 * _WHISPER_HOP
-        B, T = wav16k.shape
-        if T > window:
-            return self._transcribe_seek(wav16k, max_tokens)
-        # encode ONCE per window batch; all rungs + language detection reuse
-        # the audio features (upstream caches audio_features the same way)
-        audio = whisper_encode_jit(self.params, self._mel(wav16k), self.cfg)
-        return self._decode_rungs(audio, self._language_for(audio), max_tokens)
+        return self._transcribe_seek(wav16k, max_tokens)
 
     def _transcribe_seek(self, wav16k: jnp.ndarray, max_tokens: int):
         """whisper.transcribe's long-form seek loop (transcribe.py) over a

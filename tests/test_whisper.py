@@ -667,7 +667,8 @@ def test_transcribe_results_seek_long_form(rng):
     assert len(res["windows"]) >= 1
     solo1 = asr.transcribe_results(jnp.asarray(w1), max_tokens=10)[0]
     np.testing.assert_array_equal(
-        res["windows"][0]["decoded_tokens"], solo1["tokens"])
+        res["windows"][0]["decoded_tokens"],
+        solo1["windows"][0]["decoded_tokens"])
     seeks = [w["seek"] for w in res["windows"]]
     assert seeks[0] == 0 and all(a < b for a, b in zip(seeks, seeks[1:]))
     voiced = [w for w in res["windows"] if not w["silent"]]
@@ -688,8 +689,9 @@ def test_transcribe_results_seek_long_form(rng):
 
     frames_w = TINY.n_audio_ctx * 2
     content = -(-long_wav.shape[1] // 160)
+    w0 = solo1["windows"][0]
     _, segs0 = parse_seek_window(
-        solo1["tokens"], solo1["silent"], 0, min(frames_w, content), TINY)
+        w0["decoded_tokens"], w0["silent"], 0, min(frames_w, content), TINY)
     assert len(segs0) >= 1
     for got, want in zip(res["segments"], segs0):
         np.testing.assert_array_equal(got["tokens"], want["tokens"])
