@@ -119,10 +119,17 @@ def test_real_whisper_transcribes_and_gates():
         wtok = WhisperTokenizer.from_pretrained(os.path.dirname(pts[0]))
     except Exception:
         pass
+    from cse_tpu.models.whisper import TRANSCRIBE_TEMPERATURES
+
     asr = WhisperASR(
         weights_path=pts[0], language=None,
         suppress_ids=_non_speech_ids(wtok),
         text_fn=(lambda ids: wtok.decode(ids)) if wtok else None,
+        # fabricated selftest weights fail every quality gate, so the full
+        # ladder burns 26 base-size decodes per seek iteration on one CPU
+        # core for nothing; ladder mechanics are covered by the tiny-config
+        # policy tests. Real assets keep the transcribe defaults.
+        temperatures=(0.0,) if _SELFTEST else TRANSCRIBE_TEMPERATURES,
     )
     sr = 16000
     t = np.arange(3 * sr) / sr
