@@ -29,9 +29,12 @@ from cse_tpu.ops.resample import resample
 
 
 class CascadedSelector:
-    def __init__(self, asr, scorer, tokenizer, whisper_tokenizer=None, sr: int = 8000):
+    def __init__(self, asr, scorer, tokenizer, whisper_tokenizer=None,
+                 sr: int = 8000, asr_max_tokens: int = 224):
         """asr: WhisperASR; scorer: callable(ids, mask)->logits [B,T,V] or None;
-        tokenizer: llama tokenizer (HF or ByteTokenizer).
+        tokenizer: llama tokenizer (HF or ByteTokenizer); asr_max_tokens:
+        decode budget per 30 s window (the transcribe default; stub builds
+        shrink it — random-weight transcripts are pseudo-text plumbing).
 
         ctx_scorer CONTRACT: ``_lm_score`` left-pads inputs to a 128-multiple
         bucket with mask 0, so the scorer MUST be padding-invariant — logits
@@ -46,6 +49,7 @@ class CascadedSelector:
         self.tok = tokenizer
         self.wtok = whisper_tokenizer
         self.sr = sr
+        self.asr_max_tokens = int(asr_max_tokens)
 
     def describe(self) -> str:
         parts = []
@@ -103,7 +107,8 @@ class CascadedSelector:
         cand16, _ = resample(jnp.asarray(candidates_8k), self.sr, 16000)
         peak = jnp.max(jnp.abs(cand16), axis=-1, keepdims=True)
         cand16 = cand16 / jnp.maximum(peak, 1e-9) * 0.9
-        results = self.asr.transcribe_results(cand16)
+        results = self.asr.transcribe_results(
+            cand16, max_tokens=self.asr_max_tokens)
         transcripts, scores = [], []
         for s in range(n):
             # silence skip: whisper.transcribe emits no segment, so the
@@ -175,8 +180,21 @@ def build_cascaded(
     else:
         temperatures = TRANSCRIBE_TEMPERATURES
 
+    stub_cfg = None
+    if weights_path is None:
+        # stub ASR: keep the REAL vocab (special/timestamp ids and the
+        # suppression sets stay valid) and the real 30 s window (windowing
+        # semantics identical), but shrink depth/width — random weights
+        # produce plumbing pseudo-text either way, ~100x cheaper
+        from cse_tpu.models.whisper import WhisperConfig
+
+        stub_cfg = WhisperConfig(
+            n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+            n_text_state=64, n_text_head=4, n_text_layer=2,
+        )
     asr = WhisperASR(
-        weights_path=weights_path, suppress_ids=_non_speech_ids(wtok),
+        weights_path=weights_path, cfg=stub_cfg,
+        suppress_ids=_non_speech_ids(wtok),
         language=None,
         text_fn=(lambda ids: wtok.decode(ids)) if wtok is not None else None,
         temperatures=temperatures,
@@ -191,7 +209,13 @@ def build_cascaded(
         enc = LlamaContextEncoder(llama_path)
         scorer = enc.score_logits
 
-    return CascadedSelector(asr, scorer, tokenizer, whisper_tokenizer=wtok, sr=sr)
+    return CascadedSelector(
+        asr, scorer, tokenizer, whisper_tokenizer=wtok, sr=sr,
+        # stub (random) ASR weights: transcripts are pseudo-text plumbing,
+        # so don't burn 224-token windows decoding noise (same reasoning as
+        # the pinned greedy ladder above); real weights keep the default
+        asr_max_tokens=224 if weights_path is not None else 32,
+    )
 
 
 def _non_speech_ids(wtok) -> tuple:
