@@ -1020,3 +1020,56 @@ def test_seek_conditions_on_previous_segments(rng, monkeypatch):
                          language="en", condition_on_previous_text=False)
     asr_off.transcribe_results(wav, max_tokens=8)
     assert captured and all(c is None for c in captured)
+
+
+def test_merge_windows_weights_by_decoded_length():
+    """_merge_windows inverts each window's avg_logprob with its DECODED
+    token count (the seek path rewrites 'tokens' to segment-only ids), so
+    the merged avg_logprob reconstructs the true per-window sums."""
+    asr = WhisperASR(params=jax.tree.map(np.asarray, random_whisper_params(TINY)),
+                     cfg=TINY, temperatures=(0.0,))
+    rs = [
+        {"tokens": np.arange(12, dtype=np.int32),          # 12 kept of 20
+         "decoded_tokens": np.arange(20, dtype=np.int32),
+         "avg_logprob": -10.0 / 21, "compression_ratio": 1.0,
+         "no_speech_prob": 0.1, "temperature": 0.0, "silent": False},
+        {"tokens": np.zeros(0, np.int32),                  # silent, 5 decoded
+         "decoded_tokens": np.arange(5, dtype=np.int32),
+         "avg_logprob": -18.0 / 6, "compression_ratio": 1.0,
+         "no_speech_prob": 0.9, "temperature": 0.2, "silent": True},
+    ]
+    m = asr._merge_windows(rs)
+    # true sums: -10 and -18 over 20 and 5 decoded tokens -> (n+1) accounting
+    np.testing.assert_allclose(m["avg_logprob"], (-10.0 - 18.0) / (25 + 2))
+    np.testing.assert_array_equal(m["tokens"], np.arange(12))
+    assert m["temperature"] == 0.2 and m["silent"] is False
+
+
+def test_decode_rungs_inactive_rows_never_gate_retries(rng, monkeypatch):
+    """active_rows excludes finished seek rows from the fallback gates: when
+    only gate-failing rows are inactive, the ladder stops after the greedy
+    rung instead of burning sampled rungs, and inactive results stay None."""
+    import cse_tpu.models.whisper as W
+
+    params = _peaked_params(win_token=1234)  # repetition loop -> cr gate fails
+    asr = WhisperASR(params=jax.tree.map(np.asarray, params), cfg=TINY)
+    wav = jnp.asarray(rng.standard_normal((2, TINY.n_audio_ctx * 2 * 160))
+                      .astype(np.float32))
+    audio = W.whisper_encode_jit(asr.params, asr._mel(wav), TINY)
+    lang = jnp.full((2,), TINY.token_lang_en, jnp.int32)
+
+    calls = []
+    real = W.whisper_decode_audio
+
+    def spy(*a, **k):
+        calls.append(k.get("max_tokens"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(W, "whisper_decode_audio", spy)
+    res = asr._decode_rungs(audio, lang, 12, active_rows=np.asarray([False, False]))
+    assert len(calls) == 1  # greedy rung only; nothing gated a retry
+    assert res == [None, None]
+    calls.clear()
+    res = asr._decode_rungs(audio, lang, 12, active_rows=np.asarray([True, False]))
+    assert len(calls) > 1   # the active failing row DOES escalate
+    assert res[0] is not None and res[1] is None
