@@ -169,9 +169,11 @@ def build_cascaded(
     # compression-ratio gate when tokenizer assets exist
     from cse_tpu.models.whisper import TRANSCRIBE_TEMPERATURES
 
+    is_stub = weights_path is None  # gates every stub behavior below
+
     if asr_temperatures:
         temperatures = asr_temperatures
-    elif weights_path is None:
+    elif is_stub:
         # stub (random) weights: avg_logprob fails the -1.0 gate on every
         # row, so the full ladder would burn 5 sampled rungs x best_of=5
         # decodes (plus a second B*5-shaped compile) on meaningless noise —
@@ -181,7 +183,7 @@ def build_cascaded(
         temperatures = TRANSCRIBE_TEMPERATURES
 
     stub_cfg = None
-    if weights_path is None:
+    if is_stub:
         # stub ASR: keep the REAL vocab (special/timestamp ids and the
         # suppression sets stay valid) and the real 30 s window (windowing
         # semantics identical), but shrink depth/width — random weights
@@ -199,7 +201,7 @@ def build_cascaded(
         text_fn=(lambda ids: wtok.decode(ids)) if wtok is not None else None,
         temperatures=temperatures,
     )
-    if weights_path is None:
+    if is_stub:
         asr.is_stub = True
 
     scorer = ctx_scorer
@@ -214,7 +216,7 @@ def build_cascaded(
         # stub (random) ASR weights: transcripts are pseudo-text plumbing,
         # so don't burn 224-token windows decoding noise (same reasoning as
         # the pinned greedy ladder above); real weights keep the default
-        asr_max_tokens=224 if weights_path is not None else 32,
+        asr_max_tokens=32 if is_stub else 224,
     )
 
 

@@ -1056,7 +1056,11 @@ class WhisperASR:
             if lang is None:
                 lang = self._language_for(audio)
             prev = None
-            if self.condition_on_previous_text:
+            # all-empty prompts (always true for the first window, hence for
+            # EVERY <=30 s utterance) select the cheap prev_budget=0 program:
+            # the conditioned program's while_loop walks K extra prompt slots
+            # per rung for zero behavior change when nothing is conditioned on
+            if self.condition_on_previous_text and any(prompt_toks):
                 pt = np.zeros((B, K), np.int32)
                 pl = np.zeros(B, np.int32)
                 for b in range(B):
@@ -1208,6 +1212,19 @@ class WhisperASR:
         ``no_speech_prob`` reports the least-silent window (the row has
         speech if any window does); ``temperature`` the highest accepted
         rung; ``silent`` only when every window is."""
+        if not rs:
+            # zero-length audio: no windows at all (upstream returns empty
+            # text/segments for empty input rather than crashing)
+            return {
+                "tokens": np.zeros(0, np.int32),
+                "text": "" if self.text_fn is not None else None,
+                "avg_logprob": 0.0,
+                "compression_ratio": compression_ratio(""),
+                "no_speech_prob": 1.0,
+                "temperature": 0.0,
+                "silent": True,
+                "windows": [],
+            }
         voiced = [r for r in rs if not r["silent"]]
         toks = (
             np.concatenate([r["tokens"] for r in voiced])

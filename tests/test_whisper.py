@@ -1003,14 +1003,17 @@ def test_seek_conditions_on_previous_segments(rng, monkeypatch):
     asr = WhisperASR(params=params, cfg=TINY, temperatures=(0.0,), language="en")
     res = asr.transcribe_results(wav, max_tokens=8)[0]
     assert len(captured) >= 2
-    pt0, pl0 = captured[0]
-    assert (pl0 == 0).all()  # first window: no previous text
+    # first window: no previous text anywhere -> the CHEAP prev-less program
+    assert captured[0] is None
     running = []
     for i, w in enumerate(res["windows"][:-1]):
         running.extend(int(t) for t in w["tokens"])
         if w["temperature"] > 0.5:
             running = []
         want = running[-(K - 1):]
+        if not want:  # still nothing to condition on -> still prev-less
+            assert captured[i + 1] is None
+            continue
         pt, pl = captured[i + 1]
         assert pl[0] == len(want)
         assert pt[0, K - len(want):].tolist() == want
@@ -1073,3 +1076,14 @@ def test_decode_rungs_inactive_rows_never_gate_retries(rng, monkeypatch):
     res = asr._decode_rungs(audio, lang, 12, active_rows=np.asarray([True, False]))
     assert len(calls) > 1   # the active failing row DOES escalate
     assert res[0] is not None and res[1] is None
+
+
+def test_transcribe_results_empty_input():
+    """Zero-length audio returns a well-formed empty/silent result (upstream
+    yields empty text/segments) instead of crashing in the merge."""
+    asr = WhisperASR(params=jax.tree.map(np.asarray, random_whisper_params(TINY)),
+                     cfg=TINY, temperatures=(0.0,), language="en")
+    res = asr.transcribe_results(jnp.zeros((1, 0)), max_tokens=8)[0]
+    assert res["silent"] is True and res["tokens"].size == 0
+    assert res["windows"] == [] and res["segments"] == []
+    assert np.isfinite(res["avg_logprob"])
