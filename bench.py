@@ -90,6 +90,10 @@ def main():
                          "— tests/test_llama.py)")
     ap.add_argument("--ctx_tokens", type=int, default=512,
                     help="context length for --with_llm (left-padded)")
+    ap.add_argument("--llama_quant", choices=("int8", "w8a8"), default="int8",
+                    help="quantization for the --with_llm prefill: int8 = "
+                         "weight-only (bf16 matmuls), w8a8 = dynamic "
+                         "activation quant on the MXU double-rate int8 path")
     ap.add_argument("--mesh_data", type=int, default=None,
                     help="run the step data-parallel over an N-device mesh "
                          "(global batch = --batch x N; reports per-chip "
@@ -188,11 +192,13 @@ def main():
         # rows in parallel, so timing the global batch on one device would
         # overstate the cost by n_chips
         prefill_s = _time_llm_prefill(
-            B // n_chips, args.ctx_tokens, args.steps, smoke=args.smoke
+            B // n_chips, args.ctx_tokens, args.steps, smoke=args.smoke,
+            quant=args.llama_quant,
         )
         dt += prefill_s * args.steps
-        llm_note = ", + measured int8 %s prefill %.0f ms/step @ %d tokens" % (
-            "tiny-smoke" if args.smoke else "8B", prefill_s * 1e3, args.ctx_tokens)
+        llm_note = ", + measured %s %s prefill %.0f ms/step @ %d tokens" % (
+            args.llama_quant, "tiny-smoke" if args.smoke else "8B",
+            prefill_s * 1e3, args.ctx_tokens)
 
     mixtures_per_sec = B * args.steps / dt / n_chips
     audio_s_per_s = mixtures_per_sec * T / args.sr
@@ -211,7 +217,8 @@ def main():
     )
 
 
-def _time_llm_prefill(B: int, T: int, steps: int, smoke: bool = False) -> float:
+def _time_llm_prefill(B: int, T: int, steps: int, smoke: bool = False,
+                      quant: str = "int8") -> float:
     """MEASURED per-step cost of the frozen Llama-3-8B context prefill on the
     full 32-layer 8B shape, int8 weight-only quantized (~6.6 GB layers +
     bf16 embed, no LM head — the encoder returns hidden states).
@@ -233,7 +240,7 @@ def _time_llm_prefill(B: int, T: int, steps: int, smoke: bool = False) -> float:
     # hidden-state encoder only (train_ContSep.py:380): skip the ~1 GB head
     # instead of generating + transferring it just to delete it
     params = random_llama_params(
-        cfg, dtype=jnp.bfloat16, seed=0, quant="int8", with_lm_head=False
+        cfg, dtype=jnp.bfloat16, seed=0, quant=quant, with_lm_head=False
     )
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)

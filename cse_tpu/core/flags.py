@@ -150,6 +150,11 @@ def add_tpu_flags(p: argparse.ArgumentParser):
                         "quantization (8B fits one v5e chip; <1e-2 hidden-"
                         "state error, the encoder is frozen so training is "
                         "unaffected)")
+    p.add_argument("--llama_w8a8", default=False, action="store_true",
+                   help="like --llama_int8 but activations also quantize to "
+                        "int8 per token, running the prefill matmuls on the "
+                        "MXU double-rate int8 path (~1.35x faster prefill; "
+                        "adds activation quantization error — opt-in)")
 
 
 def parse_train_args(argv=None) -> argparse.Namespace:

@@ -134,6 +134,7 @@ def build_cascaded(
     sr: int = 8000,
     ctx_scorer=None,
     asr_temperatures: tuple | None = None,
+    llama_quant: str | None = None,
 ):
     """Assemble the cascade from locally-available assets (stubs otherwise)."""
     from cse_tpu.models.whisper import WhisperASR
@@ -208,7 +209,10 @@ def build_cascaded(
     if scorer is None and os.path.isdir(llama_path):
         from cse_tpu.models.llama import LlamaContextEncoder
 
-        enc = LlamaContextEncoder(llama_path)
+        # llama_quant int8/w8a8 is what makes the real 8B scorer fit one
+        # v5e chip (~8.7 GB vs ~17 GB bf16); the LM head stays float either
+        # way, so scoring logits keep full head precision
+        enc = LlamaContextEncoder(llama_path, quant=llama_quant)
         scorer = enc.score_logits
 
     return CascadedSelector(

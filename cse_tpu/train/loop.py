@@ -176,7 +176,8 @@ def train_net(args, variant: str):
             ctx_length=args.ctx_length if variant != "contsep" else 1,
             auth_token=args.llama_auth_token,
             mesh=mesh,
-            quant="int8" if getattr(args, "llama_int8", False) else None,
+            quant=("w8a8" if getattr(args, "llama_w8a8", False)
+                   else "int8" if getattr(args, "llama_int8", False) else None),
         )
 
     model, tcfg = build_model(args, variant)

@@ -83,7 +83,8 @@ def main():
         args.llama_path,
         ctx_length=1 if mcfg.variant == "contsep" else args.ctx_length,
         auth_token=args.llama_auth_token,
-        quant="int8" if args.llama_int8 else None,
+        quant=("w8a8" if args.llama_w8a8
+               else "int8" if args.llama_int8 else None),
     )
     announce_assets("test", args, tokenizer=tokenizer, llm=llm)
     tcfg = TrainConfig(

@@ -61,7 +61,8 @@ def main():
     tokenizer = load_tokenizer(args.llama_path, args.llama_auth_token)
     llm = build_context_encoder(args.llama_path, ctx_length=args.ctx_length,
                                 auth_token=args.llama_auth_token,
-                                quant="int8" if args.llama_int8 else None)
+                                quant=("w8a8" if args.llama_w8a8 else
+                                       "int8" if args.llama_int8 else None))
     announce_assets("test", args, tokenizer=tokenizer, llm=llm,
                     ecapa_path=args.ecapa_path)
     tcfg = TrainConfig(variant="hcontext", num_spks=args.num_max_mix)

@@ -70,6 +70,8 @@ def main():
     cascade = build_cascaded(
         args.llama_path, whisper_path, tokenizer, sr=args.sr,
         asr_temperatures=temps,
+        llama_quant=("w8a8" if args.llama_w8a8 else
+                     "int8" if args.llama_int8 else None),
     )
     print(f"[cse_tpu] cascaded stages: {cascade.describe()}")
     announce_assets(
