@@ -72,31 +72,49 @@ class CascadedSelector:
 
     def _lm_score(self, context: str, transcript: str) -> float:
         """mean over transcript positions of max log-softmax (reference quirk)."""
-        ctx_ids = self.tok.encode(context)
-        cand_ids = self.tok.encode(transcript)[1:]  # strip bos (reference :226)
-        if len(cand_ids) == 0:
-            return -1e9
-        seq = ctx_ids + cand_ids
-        # left-pad to a 128-multiple bucket: the jitted 8B scorer would
-        # otherwise recompile for every distinct context+transcript length
-        # (left padding with mask 0 leaves logits[:, -len(cand):] unchanged)
-        L = ((len(seq) + 127) // 128) * 128
-        ids = np.zeros((1, L), np.int32)
-        mask = np.zeros((1, L), np.int32)
-        ids[0, L - len(seq):] = seq
-        mask[0, L - len(seq):] = 1
-        if self.scorer is not None:
-            logits = np.asarray(self.scorer(jnp.asarray(ids), jnp.asarray(mask)))
-            lp = jax.nn.log_softmax(jnp.asarray(logits[:, -len(cand_ids):]), axis=-1)
-            return float(jnp.max(lp, axis=-1).sum() / len(cand_ids))
-        # deterministic stand-in score: stable-hash pseudo likelihood
-        import zlib
+        return self._lm_scores(context, [transcript])[0]
 
-        tail = context[-64:].encode()
-        h = np.asarray(
-            [zlib.crc32(tail + str(t).encode()) % 1000 for t in cand_ids], np.float64
-        )
-        return float(-(h / 1000.0).mean())
+    def _lm_scores(self, context: str, transcripts: list) -> list:
+        """All streams of one mixture scored in ONE scorer call: the streams
+        share the dialog-history prefix and land in the same 128-multiple
+        length bucket, so batching them rows-wise costs nothing in padding and
+        replaces num_spks sequential 8B prefills with one [n, L] prefill.
+        Scores are identical to per-row calls because the scorer contract
+        (class docstring) requires padding-invariance."""
+        ctx_ids = self.tok.encode(context)
+        cands = [self.tok.encode(t)[1:] for t in transcripts]  # strip bos (:226)
+        scores = [-1e9] * len(transcripts)  # empty transcript floor (:229)
+        live = [i for i, c in enumerate(cands) if len(c) > 0]
+        if not live:
+            return scores
+        if self.scorer is None:
+            # deterministic stand-in score: stable-hash pseudo likelihood
+            import zlib
+
+            tail = context[-64:].encode()
+            for i in live:
+                h = np.asarray(
+                    [zlib.crc32(tail + str(t).encode()) % 1000 for t in cands[i]],
+                    np.float64,
+                )
+                scores[i] = float(-(h / 1000.0).mean())
+            return scores
+        # left-pad every row to one shared 128-multiple bucket: the jitted 8B
+        # scorer would otherwise recompile for every distinct length (left
+        # padding with mask 0 leaves logits[:, -len(cand):] unchanged)
+        seqs = [ctx_ids + cands[i] for i in live]
+        L = ((max(len(s) for s in seqs) + 127) // 128) * 128
+        ids = np.zeros((len(live), L), np.int32)
+        mask = np.zeros((len(live), L), np.int32)
+        for r, s in enumerate(seqs):
+            ids[r, L - len(s):] = s
+            mask[r, L - len(s):] = 1
+        logits = np.asarray(self.scorer(jnp.asarray(ids), jnp.asarray(mask)))
+        for r, i in enumerate(live):
+            n_cand = len(cands[i])
+            lp = jax.nn.log_softmax(jnp.asarray(logits[r, -n_cand:]), axis=-1)
+            scores[i] = float(jnp.max(lp, axis=-1).sum() / n_cand)
+        return scores
 
     def select(self, candidates_8k: np.ndarray, context: str):
         """candidates_8k: [num_spks, T] separated streams (one example).
@@ -109,7 +127,7 @@ class CascadedSelector:
         cand16 = cand16 / jnp.maximum(peak, 1e-9) * 0.9
         results = self.asr.transcribe_results(
             cand16, max_tokens=self.asr_max_tokens)
-        transcripts, scores = [], []
+        transcripts = []
         for s in range(n):
             # silence skip: whisper.transcribe emits no segment, so the
             # stream's transcript is empty text
@@ -123,7 +141,7 @@ class CascadedSelector:
             else:
                 text = self._decode_text(res["tokens"])
             transcripts.append(text)
-            scores.append(self._lm_score(context, text))
+        scores = self._lm_scores(context, transcripts)
         return int(np.argmax(scores)), transcripts, scores
 
 

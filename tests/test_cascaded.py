@@ -67,6 +67,22 @@ def test_select_runs_end_to_end(tiny_llama_scorer, rng):
     assert np.isfinite(scores).all()
 
 
+def test_batched_scores_match_per_row(tiny_llama_scorer):
+    """_lm_scores (one [n, L] scorer call per mixture) == sequential
+    _lm_score per transcript: the shared max-length bucket must not change
+    any row's score (padding-invariance contract) and empty rows keep the
+    -1e9 floor without joining the batch."""
+    sel = CascadedSelector(
+        WhisperASR(cfg=TINY_WHISPER), tiny_llama_scorer.score_logits, ByteTokenizer()
+    )
+    ctx = "Speaker 0: how are you/nSpeaker 1: "
+    transcripts = ["fine thanks and you", "", "what did you just say to me"]
+    batch = sel._lm_scores(ctx, transcripts)
+    seq = [sel._lm_score(ctx, t) for t in transcripts]
+    assert batch[1] == -1e9
+    np.testing.assert_allclose(batch, seq, rtol=1e-5, atol=1e-6)
+
+
 def test_stub_scorer_deterministic(rng):
     sel = CascadedSelector(WhisperASR(cfg=TINY_WHISPER), None, ByteTokenizer())
     s1 = sel._lm_score("ctx", "some words here")
