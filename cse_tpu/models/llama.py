@@ -41,6 +41,7 @@ import dataclasses
 import glob
 import json
 import os
+import zlib
 from functools import partial
 
 import jax
@@ -323,13 +324,18 @@ def random_llama_params(cfg: LlamaConfig, dtype=jnp.float32, mesh=None, seed: in
                         quant: str | None = None, with_lm_head: bool = True) -> dict:
     """Random-init params in the stacked layout (tests / sharding dryruns).
 
+    Every leaf is generated ON DEVICE in one jitted program, with a per-leaf
+    PRNG key folded from the leaf path, and sharded at creation when ``mesh``
+    is given (``out_shardings``). At the 8B shape this replaces ~4.5 min of
+    single-core host numpy RNG plus ~8 GB of host->device copies over the
+    TPU tunnel with an HBM-bandwidth fill (measured: ~260 s gen + ~55 s
+    transfer -> ~1 s).
+
     ``quant="int8"`` emits the quantized layout directly (int8 payloads +
     f32 scales) without materializing full-precision weights first — used by
     the bench to stand up the full 32-layer 8B shape on one chip.
     ``with_lm_head=False`` skips the [D, vocab] head entirely (hidden-state
-    encoder uses: generating + device-transferring ~1 GB just to delete it
-    is pure wall-clock waste at the 8B shape)."""
-    rng = np.random.default_rng(seed)
+    encoder uses); per-leaf keys make the shared leaves identical either way."""
     D, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
     H, KV, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
@@ -337,42 +343,54 @@ def random_llama_params(cfg: LlamaConfig, dtype=jnp.float32, mesh=None, seed: in
         scale = scale or 1.0 / np.sqrt(shape[-2] if len(shape) > 1 else shape[0])
         if quant in ("int8", "w8a8") and len(shape) == 3:
             return {
-                "w" if quant == "int8" else "w8":
-                    rng.integers(-127, 128, shape, dtype=np.int8),
-                "s": np.full((shape[0], 1, shape[2]), scale / 42.0, np.float32),
+                "w" if quant == "int8" else "w8": ("int8", shape, None),
+                "s": ("full", (shape[0], 1, shape[2]), scale / 42.0),
             }
-        return (rng.standard_normal(shape) * scale).astype(np.float32)
+        return ("normal", shape, scale)
 
-    params = {
+    spec = {
         "embed": w(cfg.vocab_size, D, scale=0.02),
-        "final_ln": np.ones(D, np.float32),
+        "final_ln": ("ones", (D,), None),
     }
     if with_lm_head:
-        # drawn between embed and layers, preserving the original draw order
-        # (and thus the exact param values) of the with-head layout
-        params["lm_head"] = w(D, cfg.vocab_size)
-    params.update({
-        "layers": {
-            "input_ln": np.ones((L, D), np.float32),
-            "post_ln": np.ones((L, D), np.float32),
-            "q": w(L, D, H * dh),
-            "k": w(L, D, KV * dh),
-            "v": w(L, D, KV * dh),
-            "o": w(L, H * dh, D),
-            "gate": w(L, D, I),
-            "up": w(L, D, I),
-            "down": w(L, I, D),
-        },
-    })
+        spec["lm_head"] = w(D, cfg.vocab_size)
+    spec["layers"] = {
+        "input_ln": ("ones", (L, D), None),
+        "post_ln": ("ones", (L, D), None),
+        "q": w(L, D, H * dh),
+        "k": w(L, D, KV * dh),
+        "v": w(L, D, KV * dh),
+        "o": w(L, H * dh, D),
+        "gate": w(L, D, I),
+        "up": w(L, D, I),
+        "down": w(L, I, D),
+    }
+    is_leaf = lambda x: isinstance(x, tuple)
     shardings = llama_shardings(mesh) if mesh is not None else None
 
-    def put(pth, x):
-        keys = [getattr(p, "key", None) for p in pth]
-        keep = x.dtype == np.int8 or keys[-1] == "s"
-        x = jnp.asarray(x) if keep else jnp.asarray(x, dtype)
-        return x if shardings is None else jax.device_put(x, _lookup(shardings, pth))
+    def gen(pth, leaf):
+        kind, shape, scale = leaf
+        tag = "/".join(str(getattr(p, "key", p)) for p in pth)
+        key = jax.random.fold_in(jax.random.key(seed),
+                                 zlib.crc32(tag.encode()) & 0x7FFFFFFF)
+        if kind == "int8":
+            return jax.random.randint(key, shape, -127, 128, jnp.int8)
+        if kind == "full":  # int8 per-channel scales stay f32 like the loader's
+            return jnp.full(shape, scale, jnp.float32)
+        if kind == "ones":
+            return jnp.ones(shape, dtype)
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(scale, dtype)
 
-    return jax.tree_util.tree_map_with_path(lambda p, x: put(p, x), params)
+    out_shardings = None
+    if shardings is not None:
+        out_shardings = jax.tree_util.tree_map_with_path(
+            lambda p, _: _lookup(shardings, p), spec, is_leaf=is_leaf)
+
+    @partial(jax.jit, out_shardings=out_shardings)
+    def build():
+        return jax.tree_util.tree_map_with_path(gen, spec, is_leaf=is_leaf)
+
+    return build()
 
 
 class LlamaContextEncoder:
