@@ -100,6 +100,11 @@ def main():
                          "— tests/test_llama.py)")
     ap.add_argument("--ctx_tokens", type=int, default=512,
                     help="context length for --with_llm (left-padded)")
+    ap.add_argument("--serving_quant", choices=("w8a8",), default=None,
+                    help="with --infer: run the fused serving stacks' "
+                         "projection matmuls on the MXU int8 double-rate "
+                         "path (dynamic per-row activation quant; ~1e-2 "
+                         "output deviation, tests/test_serving.py)")
     ap.add_argument("--llama_quant", choices=("int8", "w8a8"), default="int8",
                     help="quantization for the --with_llm prefill: int8 = "
                          "weight-only (bf16 matmuls), w8a8 = dynamic "
@@ -352,7 +357,7 @@ def _bench_infer(args, cfg, model, B, T):
     mix = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
     ctx = jnp.asarray(rng.standard_normal((B, 1, cfg.llm_dim)).astype(np.float32))
     params = model.init(jax.random.key(0), mix[:2, :2000], ctx[:2])
-    engine = ServingEngine(cfg, params)
+    engine = ServingEngine(cfg, params, quant=args.serving_quant)
     out = engine(mix, ctx)
     float(jnp.asarray(out).astype(jnp.float32).sum())
     t0 = time.perf_counter()
@@ -361,10 +366,12 @@ def _bench_infer(args, cfg, model, B, T):
     float(jnp.asarray(out).astype(jnp.float32).sum())
     dt = (time.perf_counter() - t0) / args.steps
     rtf = (B * T / args.sr) / dt
+    qnote = ", %s stacks" % args.serving_quant if args.serving_quant else ""
     print(json.dumps({
         "metric": _metric_name(args),
         "value": round(rtf, 1),
-        "unit": "x realtime (fused serving, batch %d, %.3fs@8kHz)" % (B, T / args.sr),
+        "unit": "x realtime (fused serving, batch %d, %.3fs@8kHz%s)"
+                % (B, T / args.sr, qnote),
         "vs_baseline": None,
     }))
 

@@ -83,8 +83,11 @@ def _attn_block_fwd(qkv, nhead, D, gb, Lp, kmask, cd, keep_probs=True):
         r0 = i * Lp
         ss = []
         for h in range(nhead):
-            q = qkv[r0 : r0 + Lp, h * hd : (h + 1) * hd] * scale
-            k = qkv[r0 : r0 + Lp, D + h * hd : D + (h + 1) * hd]
+            # score matmul contracts in cd (fp32 accumulate) — matches the
+            # XLA layer path's dtype and runs the MXU at full rate; at
+            # cd=fp32 configs this is a no-op cast (parity tests unchanged)
+            q = (qkv[r0 : r0 + Lp, h * hd : (h + 1) * hd] * scale).astype(cd)
+            k = qkv[r0 : r0 + Lp, D + h * hd : D + (h + 1) * hd].astype(cd)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )

@@ -36,19 +36,20 @@ def _dense(x, p, cd):
     return y + p["bias"].astype(cd) if "bias" in p else y
 
 
-def _stack(x, params, cfg, train=False):
+def _stack(x, params, cfg, train=False, quant=None):
     """PE + fused transformer stack. x: [G, L, D] (all L positions real;
     the kernels derive the length from the shape)."""
     pe = sinusoidal_pe(cfg.pe_max_len, cfg.d_model)[: x.shape[1]]
     x = x + pe[None].astype(x.dtype)
     if train:
+        assert quant is None, "w8a8 stacks are inference-only"
         from cse_tpu.ops.fused_train import fused_stack_train
 
         return fused_stack_train(
             x, params, nhead=cfg.nhead, compute_dtype=cfg.compute_dtype
         ).astype(cfg.compute_dtype)
     return fused_stack_apply(
-        x, params, nhead=cfg.nhead, compute_dtype=cfg.compute_dtype
+        x, params, nhead=cfg.nhead, compute_dtype=cfg.compute_dtype, quant=quant
     )
 
 
@@ -60,8 +61,14 @@ def sepformer_fused_forward(
     se: jnp.ndarray | None = None,
     cue_index: jnp.ndarray | None = None,
     train: bool = False,
+    quant: str | None = None,
 ):
-    """Mirror of Sepformer.__call__ with fused stacks. Same returns."""
+    """Mirror of Sepformer.__call__ with fused stacks. Same returns.
+
+    ``quant="w8a8"`` runs each stack's projection matmuls on the MXU int8
+    double-rate path (``ops/fused_stack.py::_stack_kernel_w8a8``) — the
+    separator is frozen at inference, the same argument that makes the
+    frozen Llama's w8a8 mode loss-free to train through. Opt-in."""
     p = params["params"] if "params" in params else params
     cd = cfg.compute_dtype
     B, T = mix.shape
@@ -97,7 +104,7 @@ def sepformer_fused_forward(
             c = _dense(ctx, blk["intra_context_mapper"], cd)
             c = jnp.broadcast_to(c[:, None], (B, S, Tc, N)).reshape(B * S, Tc, N)
             intra = jnp.concatenate([c, intra.astype(c.dtype)], axis=1)
-        intra = _stack(intra, blk["intra_mdl"], cfg, train=train)
+        intra = _stack(intra, blk["intra_mdl"], cfg, train=train, quant=quant)
         intra = intra[:, Tc:].reshape(B, S, K, N)
         intra = _group_norm(intra, blk["intra_norm"]) + x
 
@@ -106,7 +113,7 @@ def sepformer_fused_forward(
             c = _dense(ctx, blk["inter_context_mapper"], cd)
             c = jnp.broadcast_to(c[:, None], (B, K, Tc, N)).reshape(B * K, Tc, N)
             inter = jnp.concatenate([c, inter.astype(c.dtype)], axis=1)
-        inter = _stack(inter, blk["inter_mdl"], cfg, train=train)
+        inter = _stack(inter, blk["inter_mdl"], cfg, train=train, quant=quant)
         pred_head = inter[:, 0].reshape(B, K, N).mean(axis=1)
         inter = inter[:, Tc:].reshape(B, K, S, N).transpose(0, 2, 1, 3)
         x = _group_norm(inter, blk["inter_norm"]) + intra
@@ -147,13 +154,17 @@ def sepformer_fused_forward(
 class ServingEngine:
     """Jitted fused-inference wrapper with the Sepformer.apply signature."""
 
-    def __init__(self, cfg: SepformerConfig, params: dict):
+    def __init__(self, cfg: SepformerConfig, params: dict, quant: str | None = None):
         # compute_dtype is honored as passed — serving at bf16 (the fast
         # path) is the caller's explicit choice, keeping the "same outputs
-        # as model.apply" contract exact for fp32 configs
+        # as model.apply" contract exact for fp32 configs. quant="w8a8"
+        # additionally runs the stack projections int8 on the MXU (opt-in;
+        # ~1e-2-order deviation on top of bf16, measured in tests).
         self.cfg = cfg
         self.params = params
-        self._fwd = jax.jit(functools.partial(sepformer_fused_forward, cfg=cfg))
+        self.quant = quant
+        self._fwd = jax.jit(
+            functools.partial(sepformer_fused_forward, cfg=cfg, quant=quant))
 
     def __call__(self, mix, ctx=None, se=None, cue_index=None):
         kw = {}

@@ -95,3 +95,62 @@ def test_fused_eval_step_hcontext(rng):
     ref, _ = make_eval_step(model, tcfg, cue="voice")(params, batch)
     got, _ = make_eval_step(model, tcfg, cue="voice", fused=True)(params, batch)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_w8a8_qdot_matches_numpy_oracle(rng):
+    """_qdot (the w8a8 serving matmul) == the same quantization written out
+    in numpy: per-row symmetric activation int8, int matmul, both scales on
+    the accumulator. Same oracle style as tests/test_llama.py's _mm_w8a8."""
+    from cse_tpu.ops.fused_stack import _qdot
+
+    h = (rng.standard_normal((6, 16)) * 3.0).astype(np.float32)
+    w8 = rng.integers(-127, 128, (16, 8)).astype(np.int8)
+    s = ((rng.random((1, 8)) + 0.1) / 100.0).astype(np.float32)
+    sa = np.maximum(np.max(np.abs(h), axis=-1, keepdims=True), 1e-12) / 127.0
+    hq = np.round(h / sa).astype(np.int8)
+    want = (hq.astype(np.int64) @ w8.astype(np.int64)) * sa.astype(np.float64) * s
+    got = np.asarray(_qdot(jnp.asarray(h), jnp.asarray(w8), jnp.asarray(s)))
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-5, atol=1e-7)
+
+
+def test_w8a8_quantize_stacked_oracle(rng):
+    """Per-output-channel scales: max|w| over the CONTRACTION axis (axis 1)."""
+    from cse_tpu.ops.fused_stack import _quantize_stacked
+
+    w = rng.standard_normal((3, 8, 5)).astype(np.float32)
+    q, s = (np.asarray(a) for a in _quantize_stacked(jnp.asarray(w)))
+    want_s = np.maximum(np.max(np.abs(w), axis=1, keepdims=True), 1e-12) / 127.0
+    np.testing.assert_allclose(s, want_s, rtol=1e-6)
+    np.testing.assert_array_equal(q, np.round(w / want_s).astype(np.int8))
+    assert q.dtype == np.int8 and int(np.abs(q).max()) <= 127
+
+
+@pytest.mark.parametrize("variant", ["context", "contsep"])
+def test_w8a8_engine_close_to_exact(rng, variant):
+    """quant='w8a8' serving stays within ~1e-2-order of the exact fp32 engine
+    (same order as bf16 serving) and keeps each variant's output contract."""
+    cfg = SepformerConfig(variant=variant, ce=True, **TINY)
+    model = Sepformer(cfg)
+    mix = jnp.asarray(rng.standard_normal((2, 300)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((2, 1, 24)).astype(np.float32))
+    params = model.init(jax.random.key(0), mix, ctx)
+    e0 = ServingEngine(cfg, params)
+    e8 = ServingEngine(cfg, params, quant="w8a8")
+    ref, got = e0(mix, ctx), e8(mix, ctx)
+    outs = zip(ref, got) if variant == "contsep" else [(ref, got)]
+    for r, g in outs:
+        r, g = np.asarray(r), np.asarray(g)
+        assert np.isfinite(g).all()
+        rel = np.linalg.norm(g - r) / max(np.linalg.norm(r), 1e-12)
+        assert rel < 5e-2, rel
+
+
+def test_w8a8_refuses_training(rng):
+    cfg = SepformerConfig(variant="context", **TINY)
+    model = Sepformer(cfg)
+    mix = jnp.asarray(rng.standard_normal((1, 300)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((1, 1, 24)).astype(np.float32))
+    params = model.init(jax.random.key(0), mix, ctx)
+    with pytest.raises(AssertionError):
+        sepformer_fused_forward(params, cfg, mix, ctx=ctx, train=True,
+                                quant="w8a8")
