@@ -352,7 +352,7 @@ def fused_stack_train(
     x: jnp.ndarray,
     stack_params: dict,
     nhead: int = 8,
-    chunk: int = 2,
+    chunk: int = 1,
     compute_dtype=jnp.bfloat16,
     gb_f: int = FWD_GB,
     gb_b: int = BWD_GB,
@@ -364,6 +364,12 @@ def fused_stack_train(
     are stacked with jnp.stack (differentiable, so flax gradients flow back
     to the original tree), run through ``fused_layers`` in chunks, and the
     stack's final LayerNorm runs in plain jnp.
+
+    chunk=1 default: after the score matmuls moved to compute_dtype the
+    1-layer chunk measures fastest on v5e (146.1/141.9 ms intra/inter vs
+    149.5/143.6 at chunk=2, scripts/bench_fused.py; full step 13.1 vs 12.9
+    mixtures/s/chip) and B=16 still fits HBM with the doubled chunk-input
+    saves.
     """
     G, L, D = x.shape
     Lp = ((L + 127) // 128) * 128
