@@ -1,11 +1,23 @@
-"""Benchmark: training throughput of the flagship ContExt separator.
+"""Benchmark: training throughput of the CSE separator variants.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: mixtures/sec/chip through the full jitted train step (forward + PIT-
-free -SI-SNR loss + backward + AdamW-amsgrad update) at the reference training
-shape: 16 s @ 8 kHz waveforms, one Llama context vector per mixture
-(reference recipe: per-GPU batch 2, fp16, ``README.md:104-150``).
+Metric: mixtures/sec/chip through the full jitted train step (forward + loss
++ backward + AdamW-amsgrad update) at the reference training shape: 16 s @
+8 kHz waveforms, one Llama context vector per mixture (reference recipe:
+per-GPU batch 2, fp16, ``README.md:104-150``). ``--variant`` selects the
+paper recipe measured (the trainers' real loss surfaces, train/step.py):
+
+* ``context`` (default): -SI-SNR on stream 0 (``train_ContExt.py:366-367``)
+* ``contsep``: PIT SI-SNR + weighted BCE selector loss, 2 decoded streams
+  (``train_ContSep.py:346-394``)
+* ``hcontext``: ContExt + the frozen ECAPA forward on a 1-5 s 16 kHz
+  enrollment crop each step (``train_HContExt.py:367``), cue draw in-step
+
+``--with_llm`` runs the frozen int8/w8a8 Llama-3-8B context prefill INSIDE
+the same jitted step (``make_train_step(llm_apply=...)`` — the trainers' real
+path, reference ``train_ContSep.py:379-384``); the separately-timed bare
+prefill is printed to stderr as a decomposition only.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
 the denominator is a documented estimate of the 8xA100 recipe's per-GPU rate:
@@ -69,8 +81,12 @@ def _metric_name(args) -> str:
         return "inference_rtf_contextual_extraction"
     if args.cascaded:
         return "cascaded_pipeline_rtf"
-    return ("train_throughput_contextual_extraction"
-            + ("_with_llm" if args.with_llm else ""))
+    stem = {
+        "context": "train_throughput_contextual_extraction",
+        "contsep": "train_throughput_contsep",
+        "hcontext": "train_throughput_hcontext",
+    }[args.variant]
+    return stem + ("_with_llm" if args.with_llm else "")
 
 
 def main():
@@ -81,6 +97,12 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--smoke", action="store_true", help="tiny config on CPU (plumbing only)")
+    ap.add_argument("--variant", choices=("context", "contsep", "hcontext"),
+                    default="context",
+                    help="which paper training recipe to measure: context "
+                         "(ContExt, the default headline), contsep (PIT + "
+                         "selector losses, 2 decoded streams), hcontext "
+                         "(ContExt + per-step ECAPA enrollment forward)")
     ap.add_argument("--infer", action="store_true",
                     help="measure inference RTF with the fused serving engine instead")
     ap.add_argument("--cascaded", action="store_true",
@@ -140,17 +162,19 @@ def main():
     from cse_tpu.train.schedules import cosine_warmup_schedule
     from cse_tpu.train.step import TrainConfig, make_train_step
 
+    model_variant = "contsep" if args.variant == "contsep" else "context"
+    vkw = dict(add_se=True) if args.variant == "hcontext" else {}
     if args.smoke:
         cfg = SepformerConfig(
-            variant="context", enc_channels=16, enc_kernel=8, enc_stride=4,
+            variant=model_variant, enc_channels=16, enc_kernel=8, enc_stride=4,
             d_model=16, nhead=4, d_ffn=32, num_tf_layers=1, num_dp_layers=1,
-            chunk_size=10, llm_dim=64, pe_max_len=256,
+            chunk_size=10, llm_dim=64, pe_max_len=256, **vkw,
         )
         B, T = 2, 2000
     else:
         # fused Pallas fwd+bwd stacks need no remat (only chunk inputs persist)
         cfg = SepformerConfig(
-            variant="context", num_spks=2, compute_dtype=jnp.bfloat16
+            variant=model_variant, num_spks=2, compute_dtype=jnp.bfloat16, **vkw
         )
         from cse_tpu.ops.buckets import aligned_bucket
 
@@ -177,46 +201,140 @@ def main():
     batch = {
         "mixed": jnp.asarray(0.7 * gt + 0.3 * rng.standard_normal((B, T)).astype(np.float32)),
         "gt": jnp.asarray(gt),
-        "ctx_feat": jnp.asarray(rng.standard_normal((B, 1, cfg.llm_dim)).astype(np.float32)),
     }
+    if args.variant == "contsep":
+        # PIT targets: gt + 1 interferer (2-spk DailyTalk recipe)
+        batch["noises"] = jnp.asarray(
+            rng.standard_normal((B, T, 1)).astype(np.float32))
+
+    llm_apply = None
+    lparams = lcfg = None
+    if args.with_llm:
+        # the trainers' REAL path (train/step.py:76-79): the frozen 8B
+        # prefill runs INSIDE the jitted train step, so XLA schedules the
+        # combined program (VERDICT r3 weak #5: summed split timings can't
+        # see that). int8 weight-only fits the full 32-layer 8B on one v5e.
+        from cse_tpu.models.llama import (
+            LlamaConfig, llama_forward, random_llama_params)
+
+        if args.smoke:
+            lcfg = LlamaConfig(
+                vocab_size=256, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2)
+        else:
+            lcfg = LlamaConfig()
+        assert lcfg.hidden_size == cfg.llm_dim
+        lparams = random_llama_params(
+            lcfg, dtype=jnp.bfloat16, seed=0, quant=args.llama_quant,
+            with_lm_head=False, **({"mesh": mesh} if mesh is not None else {}),
+        )
+
+        def llm_apply(ids, mask):
+            return llama_forward(lparams, ids, mask, lcfg)[:, -1:, :]
+
+        batch["context_ids"] = jnp.asarray(
+            rng.integers(0, lcfg.vocab_size, (B, args.ctx_tokens)), jnp.int32)
+        batch["context_mask"] = jnp.ones((B, args.ctx_tokens), jnp.int32)
+        ctx0 = llm_apply(batch["context_ids"][:2], batch["context_mask"][:2])
+    else:
+        batch["ctx_feat"] = jnp.asarray(
+            rng.standard_normal((B, 1, cfg.llm_dim)).astype(np.float32))
+        ctx0 = batch["ctx_feat"][:2]
+
+    se_fn = None
+    if args.variant == "hcontext":
+        # per-step frozen ECAPA forward on a random 1-5 s 16 kHz enrollment
+        # crop — the H-ContExt trainer's real per-batch cost
+        # (train/loop.py::_enrollment_embeddings; reference
+        # train_HContExt.py:367). Real ECAPA architecture, random weights.
+        from cse_tpu.data.pipeline import crop_enrollment
+        from cse_tpu.models.ecapa import EcapaEncoder, random_ecapa_params
+
+        echan = 64 if args.smoke else 1024
+        ecapa = EcapaEncoder(params=random_ecapa_params(None, channels=echan))
+        gt16k = jnp.asarray(
+            rng.standard_normal((B, T * 2)).astype(np.float32))  # 16 kHz len
+        gt16k_len = jnp.full((B,), T * 2, jnp.int32)
+        crop = jax.jit(lambda k: crop_enrollment(gt16k, gt16k_len, k))
+
+        def se_fn(k):
+            wav, wl = crop(k)
+            return ecapa(wav, wl)
+
+        batch["se"] = se_fn(jax.random.key(7))
+
     if mesh is not None:
         from cse_tpu.core.mesh import shard_batch
 
         batch = shard_batch(batch, mesh)
-    params = model.init(jax.random.key(0), batch["mixed"][:2, :2000], batch["ctx_feat"][:2])
+    init_kw = {}
+    if args.variant == "hcontext":
+        init_kw = dict(se=batch["se"][:2], cue_index=jnp.asarray(0))
+    params = model.init(jax.random.key(0), batch["mixed"][:2, :2000], ctx0,
+                        **init_kw)
     tx = build_optimizer(cosine_warmup_schedule(1.5e-4, 500000, 10000))
     opt_state = tx.init(params)
-    step = make_train_step(
-        model, tx, TrainConfig(variant="context"), mesh=mesh, fused=not args.smoke
+    tcfg = TrainConfig(
+        variant=args.variant, num_spks=2,
+        # DailyTalk 2-spk ContSep recipe: ce forced off (BCE), ctx_weight 5.0
+        # (reference train_ContSep.py:167-168, README.md:119)
+        use_ce=False, ctx_weight=5.0,
     )
+    step = make_train_step(
+        model, tx, tcfg, mesh=mesh, llm_apply=llm_apply, fused=not args.smoke
+    )
+
+    def run_step(key, params, opt_state, batch):
+        key, sub, sub_se = jax.random.split(key, 3)
+        if se_fn is not None:
+            # async device dispatch: the ECAPA forward queues ahead of the
+            # train step, so steady-state cost = ECAPA + step device time,
+            # exactly the trainer's per-batch sequence
+            batch = dict(batch, se=se_fn(sub_se))
+        params, opt_state, m = step(params, opt_state, batch, sub)
+        return key, params, opt_state, m
 
     key = jax.random.key(1)
     for _ in range(args.warmup):
-        key, sub = jax.random.split(key)
-        params, opt_state, m = step(params, opt_state, batch, sub)
+        key, params, opt_state, m = run_step(key, params, opt_state, batch)
     float(m["loss"])  # full host sync (block_until_ready is unreliable on axon)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        key, sub = jax.random.split(key)
-        params, opt_state, m = step(params, opt_state, batch, sub)
+        key, params, opt_state, m = run_step(key, params, opt_state, batch)
     float(m["loss"])
     dt = time.perf_counter() - t0
 
     llm_note = ""
     if args.with_llm:
-        # per-CHIP batch share: under DP every chip prefills its own local
-        # rows in parallel, so timing the global batch on one device would
-        # overstate the cost by n_chips
-        prefill_s = _time_llm_prefill(
-            B // n_chips, args.ctx_tokens, args.steps, smoke=args.smoke,
-            quant=args.llama_quant,
-        )
-        dt += prefill_s * args.steps
-        llm_note = ", + measured %s %s prefill %.0f ms/step @ %d tokens" % (
-            args.llama_quant, "tiny-smoke" if args.smoke else "8B",
-            prefill_s * 1e3, args.ctx_tokens)
+        # stderr decomposition only: the bare prefill timed alone, on the
+        # SAME params (per-CHIP batch share — under DP each chip prefills
+        # its local rows). The integrated step above is the reported number.
+        import sys
 
+        from cse_tpu.models.llama import llama_forward as _lf
+
+        ids1 = batch["context_ids"][: B // n_chips]
+        mask1 = batch["context_mask"][: B // n_chips]
+        pf = jax.jit(lambda i, m: _lf(lparams, i, m, lcfg)[:, -1:])
+        float(jnp.sum(pf(ids1, mask1).astype(jnp.float32)))
+        t1 = time.perf_counter()
+        for _ in range(args.steps):
+            out = pf(ids1, mask1)
+        float(jnp.sum(out.astype(jnp.float32)))
+        prefill_s = (time.perf_counter() - t1) / args.steps
+        print("bench decomposition: bare %s %s prefill %.1f ms/step @ %d "
+              "tokens (integrated step %.1f ms)" % (
+                  args.llama_quant, "tiny-smoke" if args.smoke else "8B",
+                  prefill_s * 1e3, args.ctx_tokens,
+                  dt / args.steps * 1e3), file=sys.stderr)
+        llm_note = ", %s 8B prefill IN-STEP @ %d tokens" % (
+            args.llama_quant, args.ctx_tokens) if not args.smoke else (
+            ", tiny-smoke llm in-step")
+
+    var_note = {"context": "", "contsep": ", PIT+BCE-selector 2-stream",
+                "hcontext": ", + per-step ECAPA enrollment fwd"}[args.variant]
     mixtures_per_sec = B * args.steps / dt / n_chips
     audio_s_per_s = mixtures_per_sec * T / args.sr
     ref_audio_s = REF_MIXTURES_PER_SEC_PER_GPU * 16.0  # per A100, 16 s clips
@@ -226,8 +344,9 @@ def main():
             {
                 "metric": _metric_name(args),
                 "value": round(mixtures_per_sec, 3),
-                "unit": "mixtures/s/chip (%.3fs@8kHz, bf16, batch %d%s; %.1f audio-s/s%s)"
-                % (T / args.sr, B // n_chips, dp_note, audio_s_per_s, llm_note),
+                "unit": "mixtures/s/chip (%.3fs@8kHz, bf16, batch %d%s%s; %.1f audio-s/s%s)"
+                % (T / args.sr, B // n_chips, dp_note, var_note,
+                   audio_s_per_s, llm_note),
                 "vs_baseline": round(audio_s_per_s / ref_audio_s, 3),
             }
         )

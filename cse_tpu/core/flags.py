@@ -116,6 +116,13 @@ def add_test_flags(p: argparse.ArgumentParser):
                         "(whisper.transcribe's `temperature` option; default "
                         "the full 0,0.2,..,1.0 fallback ladder; '0' pins "
                         "greedy-only, used by smoke tests)")
+    p.add_argument("--asr_best_of", type=int, default=None,
+                   help="whisper.transcribe's `best_of` option: sampled "
+                        "candidates per t>0 fallback rung. Default 1 — the "
+                        "PROGRAMMATIC default an option-free transcribe() "
+                        "call resolves to (n_group = beam_size or best_of "
+                        "or 1), which is what the reference runs; the "
+                        "whisper CLI's 5 is available by passing 5")
 
 
 def add_tpu_flags(p: argparse.ArgumentParser):

@@ -4,9 +4,11 @@ The reference's inference-only pipeline (``test_cascaded.py:145-295``):
 1. base Sepformer separates the mixture into num_spks streams;
 2. each stream is resampled 8k->16k, peak-normed 0.9, transcribed by
    Whisper-base under the full ``whisper.transcribe`` default policy
-   (temperature fallback on compression-ratio/logprob gates, best-of-5
-   sampling, silence skip, language auto-detection — ``test_cascaded.py:224``
-   passes no options, so the defaults are the contract);
+   (temperature fallback on compression-ratio/logprob gates, one sampled
+   candidate per fallback rung — upstream's PROGRAMMATIC best_of default;
+   ``--asr_best_of`` widens it — silence skip, language auto-detection:
+   ``test_cascaded.py:224`` passes no options, so the programmatic defaults
+   are the contract);
 3. Llama-3-8B scores ``context + transcript``; the per-stream score is the
    mean over transcript positions of the per-position MAX log-softmax —
    faithfully reproducing the reference's quirk of scoring the argmax token,
@@ -153,6 +155,7 @@ def build_cascaded(
     ctx_scorer=None,
     asr_temperatures: tuple | None = None,
     llama_quant: str | None = None,
+    asr_best_of: int | None = None,
 ):
     """Assemble the cascade from locally-available assets (stubs otherwise)."""
     from cse_tpu.models.whisper import WhisperASR
@@ -194,9 +197,9 @@ def build_cascaded(
         temperatures = asr_temperatures
     elif is_stub:
         # stub (random) weights: avg_logprob fails the -1.0 gate on every
-        # row, so the full ladder would burn 5 sampled rungs x best_of=5
-        # decodes (plus a second B*5-shaped compile) on meaningless noise —
-        # pin the greedy rung; --asr_temperature still overrides
+        # row, so the full ladder would burn 5 sampled rungs of decodes on
+        # meaningless noise — pin the greedy rung; --asr_temperature still
+        # overrides
         temperatures = (0.0,)
     else:
         temperatures = TRANSCRIBE_TEMPERATURES
@@ -213,12 +216,21 @@ def build_cascaded(
             n_audio_state=64, n_audio_head=4, n_audio_layer=2,
             n_text_state=64, n_text_head=4, n_text_layer=2,
         )
+    asr_kw = {}
+    if asr_best_of is not None:
+        asr_kw["best_of"] = int(asr_best_of)
     asr = WhisperASR(
         weights_path=weights_path, cfg=stub_cfg,
         suppress_ids=_non_speech_ids(wtok),
         language=None,
         text_fn=(lambda ids: wtok.decode(ids)) if wtok is not None else None,
         temperatures=temperatures,
+        # real-weight evals (35k SpokenWoz mixtures) precompile every decode
+        # program the policy can reach on the first mixture, so the sampled
+        # and prev-prompt programs never stall the protocol mid-run; stub
+        # runs are CI smoke and keep lazy compiles
+        precompile=not is_stub,
+        **asr_kw,
     )
     if is_stub:
         asr.is_stub = True

@@ -14,8 +14,9 @@ Decode runs as a single ``lax.while_loop`` with a preallocated KV cache —
 static shapes, one compile, batch-friendly — and implements the FULL
 ``whisper.transcribe`` default policy (``transcribe.py`` defaults mirrored at
 ``test_cascaded.py:224``): greedy at temperature 0 first, then sampled
-retries at T = 0.2, 0.4, 0.6, 0.8, 1.0 (``best_of=5`` candidates, ranked by
-sum-logprob / length) whenever the compression ratio exceeds 2.4 or the
+retries at T = 0.2, 0.4, 0.6, 0.8, 1.0 (``best_of`` sampled candidates,
+ranked by sum-logprob / length; default 1 = upstream's PROGRAMMATIC width
+for an option-free call) whenever the compression ratio exceeds 2.4 or the
 average logprob falls below −1.0; segments whose ``<|nospeech|>`` probability
 exceeds 0.6 while the avg logprob stays below −1.0 are treated as silence.
 Language is auto-detected from the first decoder step when not pinned.
@@ -758,14 +759,19 @@ def random_whisper_params(cfg: WhisperConfig, seed: int = 0) -> dict:
 
 # ---- transcribe policy (whisper.transcribe defaults) ----------------------
 
-# whisper.transcribe defaults: temperature=(0, .2, .4, .6, .8, 1.0),
+# whisper.transcribe PROGRAMMATIC defaults — what an option-free
+# transcribe() call (the reference's usage, /root/reference/
+# test_cascaded.py:224) actually runs: temperature=(0, .2, .4, .6, .8, 1.0),
 # compression_ratio_threshold=2.4, logprob_threshold=-1.0,
-# no_speech_threshold=0.6, best_of=5 (sampling only)
+# no_speech_threshold=0.6, and best_of=None, which DecodingTask resolves as
+# ``n_group = beam_size or best_of or 1`` => ONE sample per t>0 rung. (The
+# whisper *CLI* defaults best_of=5; rounds <=3 shipped that width — the
+# COMPONENTS.md deviations table records the change.)
 TRANSCRIBE_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
 COMPRESSION_RATIO_THRESHOLD = 2.4
 LOGPROB_THRESHOLD = -1.0
 NO_SPEECH_THRESHOLD = 0.6
-BEST_OF = 5
+BEST_OF = 1
 
 
 def compression_ratio(text: str) -> float:
@@ -880,7 +886,8 @@ class WhisperASR:
 
     ``transcribe_tokens`` is the plain greedy pass; ``transcribe_results``
     runs the full whisper.transcribe default policy (timestamped decoding
-    under ApplyTimestampRules, temperature fallback, best-of-5 sampling,
+    under ApplyTimestampRules, temperature fallback with ``best_of`` sampled
+    candidates per rung — default 1, upstream's option-free width,
     silence skip, optional language detection) around the single compiled
     decode program. ``language=None`` auto-detects per row like
     ``whisper.load_model("base").transcribe(sample)`` at
@@ -893,7 +900,8 @@ class WhisperASR:
                  language: str | None = "en", text_fn=None, seed: int = 0,
                  temperatures: tuple = TRANSCRIBE_TEMPERATURES,
                  best_of: int = BEST_OF, without_timestamps: bool = False,
-                 condition_on_previous_text: bool = True):
+                 condition_on_previous_text: bool = True,
+                 precompile: bool = False):
         self.cfg = cfg or WhisperConfig()
         # whisper.transcribe default: each long-form window's prompt carries
         # the previous windows' text (reset after a rung hotter than
@@ -932,6 +940,59 @@ class WhisperASR:
         if params is None:
             params = random_whisper_params(self.cfg)
         self.params = jax.tree.map(jnp.asarray, params)
+        # precompile=True: the first transcribe_results call for each
+        # (batch, max_tokens) shape warms EVERY decode program the policy can
+        # lazily reach (sampled best_of tiling, conditioned prev-prompt)
+        # up front, so a 35k-mixture eval never absorbs a multi-second
+        # compile stall mid-protocol when the first gate failure or the
+        # first carried prompt lands hundreds of mixtures in. Off by default
+        # (unit tests construct many ASRs and want lazy compiles).
+        self.precompile = bool(precompile)
+        self._warmed: set = set()
+
+    def warmup(self, batch_size: int, max_tokens: int = 224) -> None:
+        """Compile every decode program ``transcribe_results`` can reach at
+        this (batch, max_tokens) shape, on zero audio.
+
+        Temperature and the PRNG key are traced, so the greedy rung and the
+        sampled rungs share one program per shape; the DISTINCT programs are
+        the plain batch and the best_of-tiled batch, each with and without
+        the conditioned-prompt budget (``prev_budget`` is a static argument),
+        plus the encoder and (when auto-detecting) the language-detect
+        program. Each warm run executes the full max_tokens decode loop once
+        — a fixed construction-time cost traded for zero mid-eval stalls.
+        """
+        cfg = self.cfg
+        B = int(batch_size)
+        key = (B, int(max_tokens))
+        if key in self._warmed:
+            return
+        wav = jnp.zeros((B, cfg.n_audio_ctx * 2 * _WHISPER_HOP), jnp.float32)
+        audio = whisper_encode_jit(self.params, self._mel(wav), cfg)
+        lang = self._language_for(audio)
+        widths = [B]
+        if any(t > 0 for t in self.temperatures) and self.best_of != 1:
+            widths.append(B * self.best_of)
+        K = cfg.n_text_ctx // 2
+        for n in widths:
+            a = audio if n == B else jnp.repeat(audio, self.best_of, axis=0)
+            l_ = lang if n == B else jnp.repeat(lang, self.best_of, axis=0)
+            prev_variants = [{}]
+            if self.condition_on_previous_text:
+                prev_variants.append({
+                    "prev_budget": K,
+                    "prev_tokens": jnp.zeros((n, K), jnp.int32),
+                    "prev_lens": jnp.zeros((n,), jnp.int32),
+                })
+            for kw in prev_variants:
+                out = whisper_decode_audio(
+                    self.params, a, cfg, l_, jnp.asarray(0.0),
+                    jax.random.PRNGKey(0), max_tokens=max_tokens,
+                    suppress_ids=self.suppress_ids,
+                    timestamps=self.timestamps, **kw,
+                )
+                jax.block_until_ready(out)
+        self._warmed.add(key)
 
     def _mel(self, wav16k: jnp.ndarray) -> jnp.ndarray:
         window = self.cfg.n_audio_ctx * 2 * _WHISPER_HOP
@@ -995,6 +1056,8 @@ class WhisperASR:
         cleanly) — the per-row dict carries ``windows`` (per-seek results)
         and ``segments`` (absolute-time upstream-style segment list).
         """
+        if self.precompile:
+            self.warmup(wav16k.shape[0], max_tokens)
         return self._transcribe_seek(wav16k, max_tokens)
 
     def _transcribe_seek(self, wav16k: jnp.ndarray, max_tokens: int):
@@ -1161,8 +1224,10 @@ class WhisperASR:
                 )
                 toks, lens, slp, nsp = map(np.asarray, (toks, lens, slp, nsp))
             else:
-                # best_of=5: tile rows, sample, rank by sum_logprob / length
-                # (MaximumLikelihoodRanker with length_penalty=None)
+                # best_of>1: tile rows, sample, rank by sum_logprob / length
+                # (MaximumLikelihoodRanker with length_penalty=None); at the
+                # default best_of=1 this degenerates to one sample per row —
+                # same batch shape as the greedy program, no tiling cost
                 k = self.best_of
                 if audio_k is None:
                     audio_k = jnp.repeat(audio, k, axis=0)

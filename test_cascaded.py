@@ -72,6 +72,7 @@ def main():
         asr_temperatures=temps,
         llama_quant=("w8a8" if args.llama_w8a8 else
                      "int8" if args.llama_int8 else None),
+        asr_best_of=args.asr_best_of,
     )
     print(f"[cse_tpu] cascaded stages: {cascade.describe()}")
     announce_assets(
