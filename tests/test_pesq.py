@@ -64,9 +64,14 @@ def test_uncorrelated_noise_scores_low(rng):
 
 
 def test_degradation_ranking(rng):
-    """Known orderings: clean > quantized-8-levels > half-band-dropped+noise."""
+    """Known orderings: clean > quantized (step 1/16, ~23 dB SNR) >
+    half-band-dropped + 0 dB noise. (The old step-1/4 quantizer was
+    ambiguous once the spec's tabulated IRS receive curve — which passes
+    the 200-300 Hz fundamentals the previous analytic curve suppressed —
+    landed: 2-bit quantization of the fundamental is genuinely comparable
+    to the noisy case.)"""
     x = _speechlike(rng)
-    quant = np.round(x * 4) / 4
+    quant = np.round(x * 16) / 16
     noise = rng.standard_normal(len(x))
     noise /= np.sqrt(np.mean(noise**2))
     bad = 0.5 * x + 0.5 * np.sqrt(np.mean(x**2)) * noise
@@ -139,3 +144,83 @@ def test_metric_441k_resamples_and_empty_is_nan(rng):
     empty = PesqMetric()
     empty.update(np.zeros((1, 100)), np.zeros((1, 100)))  # < min length: skipped
     assert empty.count == 0 and np.isnan(empty.compute())
+
+
+def test_identity_flat_envelope_content(rng):
+    """Identity must score 4.5 on FLAT-ENVELOPE content too (pure noise,
+    noise-modulated tones, steady tones). Regression: the per-utterance
+    alignment's old hop-grid envelope crude stage decorrelated on flat
+    envelopes (its frame grid sits max_lag % hop off the reference grid)
+    and its ±1-hop fine window then locked an identical pair hundreds of
+    samples off, scoring identity ~2.2."""
+    t = np.arange(16000)
+    for x in (
+        rng.standard_normal(16000) * 0.1,
+        np.sin(2 * np.pi * 300 * t / 8000)
+        * np.clip(rng.standard_normal(16000), -1, 1) * 0.1,
+        np.sin(2 * np.pi * 440 * t / 8000),
+    ):
+        s = pesq_nb(x, x)
+        assert s > 4.49, s
+
+
+def test_utterance_dependent_delay_recovered(rng):
+    """Two utterances with DIFFERENT delays (the case one global lag cannot
+    align — the spec handles it with utterance splitting): the per-utterance
+    alignment stage recovers most of the score."""
+    x = _speechlike(rng, n=48000)
+    # delay only the second half by 15 ms (utterance-dependent delay)
+    half = len(x) // 2
+    d = x.copy()
+    d[half:] = np.pad(x[half:], (120, 0))[: len(x) - half]
+    aligned = pesq_nb(x, d)
+    assert aligned > pesq_nb(x, x) - 0.6, aligned
+
+
+def test_conformance_vs_itu_reference_when_available(rng):
+    """AUTO-ACTIVATING conformance check (VERDICT r3 'do this' #5): when the
+    ITU reference implementation (pip ``pesq``) or supplied vectors
+    (``CSE_PESQ_VECTORS``: a dir of ref_*.wav/deg_*.wav pairs with an
+    ``expected.csv`` of raw P.862 scores) are present, compare this
+    implementation against them; otherwise skip — the zero-egress image
+    ships neither. Tolerance is deliberately loose (mean |d| <= 0.35 MOS,
+    max <= 0.6) because two internals remain analytic approximations of the
+    spec's tables (see eval/pesq.py module docstring)."""
+    import importlib.util
+    import os
+
+    deltas = []
+    if importlib.util.find_spec("pesq") is not None:
+        from pesq import pesq as itu_pesq
+
+        x = _speechlike(rng, n=32000)
+        noise = rng.standard_normal(len(x))
+        noise /= np.sqrt(np.mean(noise**2))
+        px = np.sqrt(np.mean(x**2))
+        degs = [x + px * 10 ** (-s / 20) * noise for s in (30, 15, 5)]
+        degs.append(np.round(x * 8) / 8)
+        for d in degs:
+            ours = pesq_nb(x, d)
+            ref = itu_pesq(8000, x.astype(np.float32), d.astype(np.float32), "nb")
+            # pip pesq returns MOS-LQO for nb; map ours through P.862.1
+            deltas.append(abs(mos_lqo(ours) - ref))
+    vec_dir = os.environ.get("CSE_PESQ_VECTORS")
+    if vec_dir and os.path.isdir(vec_dir):
+        import csv
+        import wave
+
+        def read_wav(p):
+            with wave.open(p) as w:
+                assert w.getframerate() == 8000
+                raw = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+            return raw.astype(np.float64) / 32768.0
+
+        with open(os.path.join(vec_dir, "expected.csv")) as f:
+            for row in csv.DictReader(f):
+                ref = read_wav(os.path.join(vec_dir, row["ref"]))
+                deg = read_wav(os.path.join(vec_dir, row["deg"]))
+                deltas.append(abs(pesq_nb(ref, deg) - float(row["pesq"])))
+    if not deltas:
+        pytest.skip("no ITU conformance assets (pip pesq / CSE_PESQ_VECTORS)")
+    assert float(np.mean(deltas)) <= 0.35, deltas
+    assert float(np.max(deltas)) <= 0.6, deltas
