@@ -25,6 +25,27 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _checkpointer() -> ocp.Checkpointer:
+    """An orbax checkpointer scoped to THIS process only.
+
+    The trainer saves on rank 0 alone after its own barrier (reference
+    ``train_ContSep.py:466-513``); the default orbax ``Checkpointer`` runs a
+    GLOBAL ``sync_global_processes`` inside save when ``jax.distributed`` is
+    initialized, which deadlocks (or name-mismatches against unrelated
+    barriers) when the other ranks never enter save — exactly the failure
+    ``tests/test_multihost.py`` reproduces. The state saved here is always
+    host-replicated numpy (``save_checkpoint`` materializes it), so a
+    single-process barrier scope is correct."""
+    me = jax.process_index()
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me},
+            barrier_sync_key_prefix=f"cse{me}",
+        ),
+    )
+
+
 def _is_torch_ckpt(path: str) -> bool:
     if os.path.isdir(path):
         return False
@@ -53,7 +74,7 @@ def save_checkpoint(
     ] if best else []
     if os.path.exists(path):
         shutil.rmtree(path, ignore_errors=True)
-    with ocp.PyTreeCheckpointer() as ckptr:
+    with _checkpointer() as ckptr:
         ckptr.save(path, jax.tree.map(np.asarray, state))
     # roll the previous Best only AFTER the new one is fully written — a
     # crash mid-save must never leave the run without a best checkpoint
@@ -87,7 +108,7 @@ def restore_checkpoint(path: str, template: dict[str, Any] | None = None) -> dic
         from cse_tpu.compat.torch_import import load_torch_checkpoint
 
         return load_torch_checkpoint(path)
-    with ocp.PyTreeCheckpointer() as ckptr:
+    with _checkpointer() as ckptr:
         if template is not None:
             return ckptr.restore(path, item=jax.tree.map(np.asarray, template))
         return ckptr.restore(path)
