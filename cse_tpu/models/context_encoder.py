@@ -44,6 +44,20 @@ class HashProjectionEncoder:
     def __call__(self, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         return _hash_encode(ids, mask, self.dim, self.ctx_length, self.seed)
 
+    def pure(self):
+        """(apply(params, ids, mask), params) for jit-argument threading.
+
+        The stand-in is parameter-free; params is the empty pytree so the
+        train/eval steps can thread one uniform signature either way.
+        """
+        dim, ctx_length, seed = self.dim, self.ctx_length, self.seed
+
+        def apply(params, ids, mask):
+            del params
+            return _hash_encode(ids, mask, dim, ctx_length, seed)
+
+        return apply, ()
+
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def _hash_encode(ids, mask, dim, ctx_length, seed):

@@ -415,6 +415,22 @@ class LlamaContextEncoder:
         h = self._fwd(self.params, ids, mask)
         return h[:, -self.ctx_length :, :].astype(jnp.float32)
 
+    def pure(self):
+        """(apply(params, ids, mask), params) for jit-argument threading.
+
+        Inside a jitted train/eval step the weights MUST arrive through the
+        params argument — calling ``__call__`` under an outer trace would
+        capture the ~8 GB pytree as lowered-module constants (duplicated in
+        HBM, multi-minute lowering).
+        """
+        cfg, ctx_length = self.cfg, self.ctx_length
+
+        def apply(params, ids, mask):
+            h = llama_forward(params, ids, mask, cfg)
+            return h[:, -ctx_length:, :].astype(jnp.float32)
+
+        return apply, self.params
+
     def score_logits(self, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         """Causal-LM logits [B, T, V] for cascaded stream scoring."""
         return self._fwd(self.params, ids, mask, return_logits=True)

@@ -297,10 +297,14 @@ def train_net(args, variant: str):
     fused = fused_flag if fused_flag is not None else is_tpu_backend()
     print(f"[cse_tpu] train path: {'fused-pallas' if fused else 'xla'}"
           + (" (auto)" if fused_flag is None else " (forced)"))
+    # thread the frozen-LLM weights as jit ARGUMENTS (encoder.pure()), never
+    # closure constants — see make_loss_fn's docstring for why
+    llm_fn, llm_ps = llm.pure() if llm is not None else (None, None)
     train_step = make_train_step(
-        model, tx, tcfg, mesh=mesh, llm_apply=llm, fused=fused,
+        model, tx, tcfg, mesh=mesh, llm_apply=llm_fn, llm_params=llm_ps,
+        fused=fused,
     )
-    eval_step = make_eval_step(model, tcfg, llm_apply=llm)
+    eval_step = make_eval_step(model, tcfg, llm_apply=llm_fn, llm_params=llm_ps)
 
     schedule = build_schedule(args)
     # per-experiment dump dir (reference train_ContExt.py:131: temp_dir is

@@ -52,13 +52,20 @@ def _sample_cue(rng: jax.Array) -> jax.Array:
 def make_loss_fn(
     model, cfg: TrainConfig, llm_apply: Callable | None = None, fused: bool = False
 ):
-    """Build loss(params, batch, rng) -> (loss, metrics).
+    """Build loss(params, batch, rng, llm_params=None) -> (loss, metrics).
 
     ``batch`` keys: mixed [B,T], gt [B,T], noises [B,T,spk-1] (contsep/base),
     ctx_feat [B,Tc,llm_dim] (or context_ids/context_mask when llm_apply is
     given), se [B,1,192] (hcontext). With ``fused=True`` the separator runs
     through the fused-kernel forward (Pallas fwd+bwd stacks, ~2x faster on
     v5e) instead of model.apply — identical parameters and math.
+
+    ``llm_apply`` is a PURE function ``(llm_params, ids, mask) -> feats``:
+    the frozen-LLM weights arrive through ``llm_params`` (threaded as a real
+    argument of the enclosing jit by make_train_step/make_eval_step), never
+    as trace-captured closure constants — closing over the 8 GB int8 Llama
+    would embed it into the lowered module (XLA "captured constants"),
+    doubling its HBM footprint and stalling compilation.
     """
     if fused:
         from cse_tpu.serving import sepformer_fused_forward
@@ -73,13 +80,14 @@ def make_loss_fn(
                 return model.apply(params, mix, **kw)
             return model.apply(params, mix, ctx, **kw)
 
-    def get_ctx(batch):
+    def get_ctx(batch, llm_params):
         if llm_apply is not None:
-            feats = llm_apply(batch["context_ids"], batch["context_mask"])
+            feats = llm_apply(llm_params, batch["context_ids"],
+                              batch["context_mask"])
             return jax.lax.stop_gradient(feats)
         return batch.get("ctx_feat")
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, llm_params=None):
         mixed, gt = batch["mixed"], batch["gt"]
         metrics: dict[str, Any] = {}
 
@@ -90,7 +98,7 @@ def make_loss_fn(
             metrics["snr_loss"] = loss
             return loss, metrics
 
-        ctx = get_ctx(batch)
+        ctx = get_ctx(batch, llm_params)
 
         if cfg.variant == "contsep":
             est, logits = apply_fn(params, mixed, ctx)
@@ -133,6 +141,7 @@ def make_train_step(
     cfg: TrainConfig,
     mesh=None,
     llm_apply: Callable | None = None,
+    llm_params=None,
     fused: bool = False,
 ):
     """Compile the SPMD train step.
@@ -140,12 +149,17 @@ def make_train_step(
     Returns step(params, opt_state, batch, rng) -> (params, opt_state, metrics).
     With ``mesh``, the batch is consumed sharded over the data axis and
     params/opt state stay replicated (donated in-place).
+
+    ``llm_params`` (the frozen-LLM weight pytree fed to ``llm_apply``) is
+    threaded as a runtime argument of the jitted program — its sharding is
+    inherited from the arrays themselves (TP over the ``model`` axis stays
+    TP), and it is never baked into the executable as a captured constant.
     """
     loss_fn = make_loss_fn(model, cfg, llm_apply, fused=fused)
 
-    def step(params, opt_state, batch, rng):
+    def step(params, opt_state, batch, rng, llm_params):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, rng
+            params, batch, rng, llm_params
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -154,20 +168,26 @@ def make_train_step(
         return params, opt_state, metrics
 
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0, 1))
+        jitted = jax.jit(step, donate_argnums=(0, 1))
+    else:
+        repl = mesh_lib.replicated(mesh)
+        data = mesh_lib.data_sharded(mesh)
+        jitted = jax.jit(
+            step,
+            donate_argnums=(0, 1),
+            # None: inherit the llm pytree's own (possibly TP) shardings
+            in_shardings=(repl, repl, data, repl, None),
+            out_shardings=(repl, repl, repl),
+        )
 
-    repl = mesh_lib.replicated(mesh)
-    data = mesh_lib.data_sharded(mesh)
-    return jax.jit(
-        step,
-        donate_argnums=(0, 1),
-        in_shardings=(repl, repl, data, repl),
-        out_shardings=(repl, repl, repl),
-    )
+    def wrapped(params, opt_state, batch, rng):
+        return jitted(params, opt_state, batch, rng, llm_params)
+
+    return wrapped
 
 
 def make_eval_step(model, cfg: TrainConfig, llm_apply: Callable | None = None,
-                   cue: str = "joint", fused: bool = False):
+                   llm_params=None, cue: str = "joint", fused: bool = False):
     """Compiled inference step -> (enhanced [B, T], aux metrics).
 
     ContSep picks the stream via the selector head (sigmoid/softmax argmax,
@@ -190,7 +210,7 @@ def make_eval_step(model, cfg: TrainConfig, llm_apply: Callable | None = None,
         def apply_fn(params, mix, *args, **kw):
             return model.apply(params, mix, *args, **kw)
 
-    def step(params, batch):
+    def step(params, batch, llm_params):
         mixed = batch["mixed"]
         if cfg.variant == "base":
             est = apply_fn(params, mixed)  # [B, T, spk]
@@ -205,7 +225,8 @@ def make_eval_step(model, cfg: TrainConfig, llm_apply: Callable | None = None,
                 )
             return est[:, :, 0], aux
         if llm_apply is not None:
-            ctx = llm_apply(batch["context_ids"], batch["context_mask"])
+            ctx = llm_apply(llm_params, batch["context_ids"],
+                            batch["context_mask"])
         else:
             ctx = batch.get("ctx_feat")
         if cfg.variant == "contsep":
@@ -228,4 +249,9 @@ def make_eval_step(model, cfg: TrainConfig, llm_apply: Callable | None = None,
         est = apply_fn(params, mixed, ctx, **kwargs)
         return est[:, :, 0], {}
 
-    return jax.jit(step)
+    jitted = jax.jit(step)
+
+    def wrapped(params, batch):
+        return jitted(params, batch, llm_params)
+
+    return wrapped

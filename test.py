@@ -91,7 +91,9 @@ def main():
         variant="contsep" if mcfg.variant == "contsep" else "context",
         num_spks=mcfg.num_spks, use_ce=mcfg.ce,
     )
-    eval_step = make_eval_step(model, tcfg, llm_apply=llm, fused=args.fused_eval)
+    llm_fn, llm_ps = llm.pure()
+    eval_step = make_eval_step(model, tcfg, llm_apply=llm_fn,
+                               llm_params=llm_ps, fused=args.fused_eval)
 
     paths = _corpus_paths(args)
     pcfg = PipelineConfig(

@@ -66,7 +66,9 @@ def main():
     announce_assets("test", args, tokenizer=tokenizer, llm=llm,
                     ecapa_path=args.ecapa_path)
     tcfg = TrainConfig(variant="hcontext", num_spks=args.num_max_mix)
-    eval_step = make_eval_step(model, tcfg, llm_apply=llm, cue=args.cue,
+    llm_fn, llm_ps = llm.pure()
+    eval_step = make_eval_step(model, tcfg, llm_apply=llm_fn,
+                               llm_params=llm_ps, cue=args.cue,
                                fused=args.fused_eval)
 
     paths = _corpus_paths(args)

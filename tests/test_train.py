@@ -267,3 +267,66 @@ def test_restore_torch_checkpoint_routing(tmp_path):
     torch.save({"state_dict": sd, "step": 5, "epoch": 0}, p)
     out = restore_checkpoint(p)
     assert out["step"] == 5 and np.allclose(out["state_dict"]["w"], 1.0)
+
+
+def test_llm_params_enter_the_step_as_arguments_not_constants(rng):
+    """The frozen-LLM weights must reach the jitted train step through the
+    ``llm_params`` ARGUMENT (make_train_step threads it; encoders expose
+    ``pure()``). Closing over the real 8 GB int8 Llama instead would embed
+    it into the lowered module as XLA captured constants — duplicated HBM
+    and multi-minute lowering. Guard: with the captured-constants warning
+    threshold set BELOW the fake LLM's size, lowering must stay silent."""
+    import warnings
+
+    from cse_tpu.models.llama import (
+        LlamaConfig, llama_forward, random_llama_params)
+
+    lcfg = LlamaConfig(vocab_size=64, hidden_size=24, intermediate_size=48,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2, rope_theta=10000.0)
+    lparams = random_llama_params(lcfg, with_lm_head=False)
+    lbytes = sum(a.size * a.dtype.itemsize for a in jax.tree.leaves(lparams))
+
+    def llm_apply(lp, ids, mask):
+        return llama_forward(lp, ids, mask, lcfg)[:, -1:, :]
+
+    model = _model("context")
+    batch = _batch(rng)
+    del batch["ctx_feat"]
+    batch["context_ids"] = jnp.zeros((4, 8), jnp.int32)
+    batch["context_mask"] = jnp.ones((4, 8), jnp.int32)
+    ctx0 = llm_apply(lparams, batch["context_ids"], batch["context_mask"])
+    params = model.init(jax.random.key(0), batch["mixed"], ctx0)
+    tx = build_optimizer(1e-3)
+    step = make_train_step(model, tx, TrainConfig(variant="context"),
+                           llm_apply=llm_apply, llm_params=lparams)
+    threshold = max(lbytes // 2, 1)
+    old = jax.config.jax_captured_constants_warn_bytes
+    # the step donates params/opt_state — keep pristine copies for call 2
+    params2 = jax.tree.map(jnp.copy, params)
+    opt2 = tx.init(params)
+    try:
+        jax.config.update("jax_captured_constants_warn_bytes", threshold)
+        with warnings.catch_warnings():
+            warnings.filterwarnings(
+                "error", message=".*constants were captured during lowering.*")
+            _, _, m = step(params, tx.init(params), batch, jax.random.key(1))
+    finally:
+        jax.config.update("jax_captured_constants_warn_bytes", old)
+    assert np.isfinite(float(m["loss"]))
+
+    # sanity that the guard bites: the OLD closure-over-weights style must
+    # trip the same warning at this threshold
+    def leaky_apply(lp, ids, mask):
+        del lp
+        return llama_forward(lparams, ids, mask, lcfg)[:, -1:, :]
+
+    leaky = make_train_step(model, tx, TrainConfig(variant="context"),
+                            llm_apply=leaky_apply, llm_params=())
+    try:
+        jax.config.update("jax_captured_constants_warn_bytes", threshold)
+        with pytest.warns(UserWarning,
+                          match="constants were captured during lowering"):
+            leaky(params2, opt2, batch, jax.random.key(1))
+    finally:
+        jax.config.update("jax_captured_constants_warn_bytes", old)
