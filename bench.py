@@ -91,7 +91,12 @@ def _metric_name(args) -> str:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8, help="mixtures per step (one chip)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="mixtures per step (one chip); default 16 — the "
+                         "measured single-chip sweet spot (13.24 vs 13.11 "
+                         "mixtures/s at B=8, r4) — or 8 with --with_llm, "
+                         "where the 8 GB int8 Llama shares the 16 GB HBM "
+                         "with the doubled activation saves")
     ap.add_argument("--seconds", type=float, default=16.0, help="mixture length (s)")
     ap.add_argument("--sr", type=int, default=8000)
     ap.add_argument("--steps", type=int, default=10)
@@ -139,6 +144,8 @@ def main():
                          "count=N JAX_PLATFORMS=cpu for a compile-only "
                          "dryrun; on a real slice this measures DP scaling")
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = 8 if args.with_llm else 16
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
@@ -151,8 +158,8 @@ def main():
             "value": 0.0,
             "unit": "UNMEASURED: TPU backend unresponsive after repeated "
                     "probes (axon tunnel wedged); last measured real-chip "
-                    "numbers are in PERF.md (12.26 mixtures/s/chip, "
-                    "--with_llm 8.01, --infer 671.5x RT)",
+                    "numbers are in PERF.md (13.24 mixtures/s/chip, "
+                    "--with_llm 8.32 int8 / 9.69 w8a8, --infer 699x RT)",
             "vs_baseline": 0.0,
         }))
         return
@@ -230,13 +237,14 @@ def main():
             with_lm_head=False, **({"mesh": mesh} if mesh is not None else {}),
         )
 
-        def llm_apply(ids, mask):
-            return llama_forward(lparams, ids, mask, lcfg)[:, -1:, :]
+        def llm_apply(lp, ids, mask):
+            return llama_forward(lp, ids, mask, lcfg)[:, -1:, :]
 
         batch["context_ids"] = jnp.asarray(
             rng.integers(0, lcfg.vocab_size, (B, args.ctx_tokens)), jnp.int32)
         batch["context_mask"] = jnp.ones((B, args.ctx_tokens), jnp.int32)
-        ctx0 = llm_apply(batch["context_ids"][:2], batch["context_mask"][:2])
+        ctx0 = llm_apply(
+            lparams, batch["context_ids"][:2], batch["context_mask"][:2])
     else:
         batch["ctx_feat"] = jnp.asarray(
             rng.standard_normal((B, 1, cfg.llm_dim)).astype(np.float32))
@@ -282,7 +290,8 @@ def main():
         use_ce=False, ctx_weight=5.0,
     )
     step = make_train_step(
-        model, tx, tcfg, mesh=mesh, llm_apply=llm_apply, fused=not args.smoke
+        model, tx, tcfg, mesh=mesh, llm_apply=llm_apply, llm_params=lparams,
+        fused=not args.smoke
     )
 
     def run_step(key, params, opt_state, batch):
@@ -317,11 +326,11 @@ def main():
 
         ids1 = batch["context_ids"][: B // n_chips]
         mask1 = batch["context_mask"][: B // n_chips]
-        pf = jax.jit(lambda i, m: _lf(lparams, i, m, lcfg)[:, -1:])
-        float(jnp.sum(pf(ids1, mask1).astype(jnp.float32)))
+        pf = jax.jit(lambda lp, i, m: _lf(lp, i, m, lcfg)[:, -1:])
+        float(jnp.sum(pf(lparams, ids1, mask1).astype(jnp.float32)))
         t1 = time.perf_counter()
         for _ in range(args.steps):
-            out = pf(ids1, mask1)
+            out = pf(lparams, ids1, mask1)
         float(jnp.sum(out.astype(jnp.float32)))
         prefill_s = (time.perf_counter() - t1) / args.steps
         print("bench decomposition: bare %s %s prefill %.1f ms/step @ %d "
@@ -440,8 +449,9 @@ def _bench_cascaded(args):
         lcfg = LlamaConfig()
         lparams = random_llama_params(lcfg, dtype=jnp.bfloat16, seed=0,
                                       quant="int8")
-        scorer = jax.jit(lambda i, m: llama_forward(
-            lparams, i, m, lcfg, return_logits=True))
+        sjit = jax.jit(lambda lp, i, m: llama_forward(
+            lp, i, m, lcfg, return_logits=True))
+        scorer = lambda i, m: sjit(lparams, i, m)
     sel = CascadedSelector(asr, scorer, ByteTokenizer(), sr=args.sr,
                            asr_max_tokens=max_tokens)
     context = "Speaker 0: could you pass the salt please/nSpeaker 1: "
