@@ -78,7 +78,11 @@ def _backend_responsive(probe_timeout_s: int = None, retries: int = None) -> boo
 
 def _metric_name(args) -> str:
     if args.infer:
-        return "inference_rtf_contextual_extraction"
+        return {
+            "context": "inference_rtf_contextual_extraction",
+            "contsep": "inference_rtf_contsep",
+            "hcontext": "inference_rtf_hcontext",
+        }[args.variant]
     if args.cascaded:
         return "cascaded_pipeline_rtf"
     stem = {
@@ -159,7 +163,7 @@ def main():
             "unit": "UNMEASURED: TPU backend unresponsive after repeated "
                     "probes (axon tunnel wedged); last measured real-chip "
                     "numbers are in PERF.md (13.24 mixtures/s/chip, "
-                    "--with_llm 8.32 int8 / 9.69 w8a8, --infer 699x RT)",
+                    "--with_llm 8.32 int8 / 9.69 w8a8, --infer 710.8x RT)",
             "vs_baseline": 0.0,
         }))
         return
@@ -362,43 +366,6 @@ def main():
     )
 
 
-def _time_llm_prefill(B: int, T: int, steps: int, smoke: bool = False,
-                      quant: str = "int8") -> float:
-    """MEASURED per-step cost of the frozen Llama-3-8B context prefill on the
-    full 32-layer 8B shape, int8 weight-only quantized (~6.6 GB layers +
-    bf16 embed, no LM head — the encoder returns hidden states).
-
-    The reference pays ``LlamaModel(fp16)`` on every train step
-    (``train_ContSep.py:379-380``). bf16 8B (~16 GB) exceeds one v5e core's
-    HBM, but the int8 weight-only form fits, so this is a direct single-chip
-    measurement (no layer extrapolation); the deployment path for bf16
-    remains TP over the ``model`` mesh axis.
-    """
-    from cse_tpu.models.llama import LlamaConfig, llama_forward, random_llama_params
-
-    if smoke:  # plumbing-only: tiny shape, CPU-feasible, same int8 code path
-        cfg = LlamaConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
-                          num_hidden_layers=2, num_attention_heads=4,
-                          num_key_value_heads=2)
-    else:
-        cfg = LlamaConfig()
-    # hidden-state encoder only (train_ContSep.py:380): skip the ~1 GB head
-    # instead of generating + transferring it just to delete it
-    params = random_llama_params(
-        cfg, dtype=jnp.bfloat16, seed=0, quant=quant, with_lm_head=False
-    )
-    rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
-    mask = jnp.ones((B, T), jnp.int32)
-    fwd = jax.jit(lambda p, i, m: llama_forward(p, i, m, cfg)[:, -1:])
-    float(jnp.sum(fwd(params, ids, mask).astype(jnp.float32)))
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fwd(params, ids, mask)
-    float(jnp.sum(out.astype(jnp.float32)))
-    return (time.perf_counter() - t0) / steps
-
-
 def _bench_cascaded(args):
     """End-to-end cascaded pipeline throughput at REAL model dims: full-size
     base separator (fused serving) -> 8k->16k resample + peak-norm ->
@@ -479,20 +446,36 @@ def _bench_cascaded(args):
 
 
 def _bench_infer(args, cfg, model, B, T):
-    """Secondary mode: extraction RTF through the fused serving engine."""
+    """Secondary mode: extraction RTF through the fused serving engine.
+
+    ``--variant`` composes: contsep serves 2 decoded streams + the selector
+    head; hcontext adds the speaker-embedding cue fusion (fixed cue, like the
+    eval CLIs' ``--cue``). The engine handles all three (tests/test_serving).
+    """
     from cse_tpu.serving import ServingEngine
 
     rng = np.random.default_rng(0)
     mix = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
     ctx = jnp.asarray(rng.standard_normal((B, 1, cfg.llm_dim)).astype(np.float32))
-    params = model.init(jax.random.key(0), mix[:2, :2000], ctx[:2])
+    init_kw, call_kw = {}, {}
+    if cfg.add_se:
+        se = jnp.asarray(
+            rng.standard_normal((B, 1, cfg.se_dim)).astype(np.float32))
+        init_kw = dict(se=se[:2], cue_index=jnp.asarray(0))
+        call_kw = dict(se=se, cue_index=jnp.asarray(0))
+    params = model.init(jax.random.key(0), mix[:2, :2000], ctx[:2], **init_kw)
     engine = ServingEngine(cfg, params, quant=args.serving_quant)
-    out = engine(mix, ctx)
-    float(jnp.asarray(out).astype(jnp.float32).sum())
+
+    def run():
+        out = engine(mix, ctx, **call_kw)
+        est = out[0] if isinstance(out, tuple) else out  # contsep: (est, logits)
+        return float(jnp.asarray(est).astype(jnp.float32).sum())
+
+    run()
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        out = engine(mix, ctx)
-    float(jnp.asarray(out).astype(jnp.float32).sum())
+    for _ in range(args.steps - 1):
+        engine(mix, ctx, **call_kw)
+    run()
     dt = (time.perf_counter() - t0) / args.steps
     rtf = (B * T / args.sr) / dt
     qnote = ", %s stacks" % args.serving_quant if args.serving_quant else ""

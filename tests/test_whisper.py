@@ -1160,7 +1160,7 @@ def test_precompile_warms_every_decode_program(rng):
     n_compiled = W.whisper_decode_audio._cache_size()
     # warmup covered {B, B*best_of} x {no-prev, prev-budget} = 4 programs
     assert n_compiled >= 4, n_compiled
-    # a second, longer mixture (two windows -> prev-prompt path) reuses them
+    # a second mixture of the same shape reuses the warmed programs
     wav2 = jnp.asarray(rng.standard_normal((2, TINY.n_audio_ctx * 2 * 160))
                        .astype(np.float32))
     asr.transcribe_results(wav2, max_tokens=8)
@@ -1168,3 +1168,38 @@ def test_precompile_warms_every_decode_program(rng):
     # and warmup is idempotent per (batch, max_tokens) shape
     asr.warmup(2, 8)
     assert W.whisper_decode_audio._cache_size() == n_compiled
+
+
+def test_precompile_covers_the_live_prev_prompt_program(rng, monkeypatch):
+    """The conditioned prev-prompt program warmed by one ASR's precompile is
+    the SAME compiled program a live two-window transcription hits: a
+    greedy-pinned ASR (so the prompt carries — temperature stays <= 0.5)
+    driving a two-window wav must (a) actually pass a previous-text prompt to
+    window 2 (spy-asserted, guarding against the warmup and live paths
+    drifting to different static args) and (b) add ZERO compilations."""
+    import cse_tpu.models.whisper as W
+
+    params = jax.tree.map(np.asarray, _peaked_params(win_token=1234))
+    warm = WhisperASR(params=params, cfg=TINY, best_of=2, precompile=True)
+    warm.warmup(2, 8)
+    n_compiled = W.whisper_decode_audio._cache_size()
+
+    captured = []
+    orig = WhisperASR._decode_rungs
+
+    def spy(self, audio, lang, max_tokens, active_rows=None, prev=None):
+        captured.append(prev is not None)
+        return orig(self, audio, lang, max_tokens, active_rows, prev)
+
+    monkeypatch.setattr(WhisperASR, "_decode_rungs", spy)
+    # greedy-pinned: the peaked (repetitive) transcript would fail the cr
+    # gate and escalate past 0.5, resetting the prompt before window 2
+    live = WhisperASR(params=params, cfg=TINY, temperatures=(0.0,),
+                      language="en", precompile=False)
+    window = TINY.n_audio_ctx * 2 * 160
+    wav = jnp.asarray(rng.standard_normal((2, 2 * window)).astype(np.float32))
+    live.transcribe_results(wav, max_tokens=8)
+    assert any(captured), "no window ever took the prev-prompt path"
+    assert W.whisper_decode_audio._cache_size() == n_compiled, (
+        "the live prev-prompt decode compiled a new program — warmup and "
+        "live static args have drifted")
