@@ -36,37 +36,44 @@ def _ln(x, scale, bias):
     return (x - m) * jax.lax.rsqrt(v + 1e-6) * scale + bias
 
 
-def _attention(qkv, nhead: int, D: int, kmask, compute_dtype):
+def _attention(qkv, nhead: int, D: int, kmask, compute_dtype, gb: int = 1):
     """Stage-split self-attention (scores -> softmaxes -> PVs) so the
     scheduler overlaps VPU softmax with MXU matmuls across heads; the
     1/sqrt(hd) scale folds into q and the softmax division past PV (both
     [Lp, hd]). Score/PV matmuls contract in ``compute_dtype`` (matching the
-    XLA layer path) with fp32 accumulation. qkv: [Lp, 3D] fp32 -> [Lp, D]."""
+    XLA layer path) with fp32 accumulation. qkv: [gb*Lp, 3D] fp32 ->
+    [gb*Lp, D]; attention itself stays per-sequence (the kmask is square in
+    Lp), so the gb sequences of a grid block are looped here."""
     hd = D // nhead
+    Lp = qkv.shape[0] // gb
     scale = 1.0 / math.sqrt(hd)
-    ss = []
-    for hh in range(nhead):
-        q = (qkv[:, hh * hd : (hh + 1) * hd] * scale).astype(compute_dtype)
-        k = qkv[:, D + hh * hd : D + (hh + 1) * hd].astype(compute_dtype)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ss.append(jnp.where(kmask, s, -1e30))
-    ps, zs = [], []
-    for hh in range(nhead):
-        m = jnp.max(ss[hh], axis=1, keepdims=True)
-        p = jnp.exp(ss[hh] - m)
-        ps.append(p)
-        zs.append(jnp.sum(p, axis=1, keepdims=True))
-    attn_cols = []
-    for hh in range(nhead):
-        v = qkv[:, 2 * D + hh * hd : 2 * D + (hh + 1) * hd]
-        pv = jnp.dot(
-            ps[hh].astype(compute_dtype), v.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        )
-        attn_cols.append(pv / zs[hh])
-    return jnp.concatenate(attn_cols, axis=-1)  # [Lp, D]
+    rows = []
+    for i in range(gb):
+        r0 = i * Lp
+        ss = []
+        for hh in range(nhead):
+            q = (qkv[r0 : r0 + Lp, hh * hd : (hh + 1) * hd] * scale).astype(compute_dtype)
+            k = qkv[r0 : r0 + Lp, D + hh * hd : D + (hh + 1) * hd].astype(compute_dtype)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ss.append(jnp.where(kmask, s, -1e30))
+        ps, zs = [], []
+        for hh in range(nhead):
+            m = jnp.max(ss[hh], axis=1, keepdims=True)
+            p = jnp.exp(ss[hh] - m)
+            ps.append(p)
+            zs.append(jnp.sum(p, axis=1, keepdims=True))
+        attn_cols = []
+        for hh in range(nhead):
+            v = qkv[r0 : r0 + Lp, 2 * D + hh * hd : 2 * D + (hh + 1) * hd]
+            pv = jnp.dot(
+                ps[hh].astype(compute_dtype), v.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            attn_cols.append(pv / zs[hh])
+        rows.append(jnp.concatenate(attn_cols, axis=-1))
+    return jnp.concatenate(rows, axis=0)  # [gb*Lp, D]
 
 
 def _stack_kernel(
@@ -74,8 +81,10 @@ def _stack_kernel(
     f1_w, f1_b, f2_w, f2_b, fn_s, fn_b, o_ref,
     *, n_layers: int, nhead: int, L: int, compute_dtype,
 ):
-    Lp, D = x_ref.shape[1], x_ref.shape[2]
-    x = x_ref[0].astype(jnp.float32)  # [Lp, D] fp32 residual stream
+    gb, Lp, D = x_ref.shape
+    # [gb*Lp, D] fp32 residual stream — position-wise matmuls batch the
+    # block's sequences; attention loops them (see _attention)
+    x = x_ref[...].astype(jnp.float32).reshape(gb * Lp, D)
     kmask = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1) < L
 
     for li in range(n_layers):
@@ -83,8 +92,8 @@ def _stack_kernel(
         qkv = (
             jnp.dot(h.astype(compute_dtype), qkv_w[li], preferred_element_type=jnp.float32)
             + qkv_b[li].astype(jnp.float32)
-        )  # [Lp, 3D]
-        attn = _attention(qkv, nhead, D, kmask, compute_dtype)
+        )  # [gb*Lp, 3D]
+        attn = _attention(qkv, nhead, D, kmask, compute_dtype, gb)
         x = x + (
             jnp.dot(attn.astype(compute_dtype), out_w[li], preferred_element_type=jnp.float32)
             + out_b[li].astype(jnp.float32)
@@ -100,7 +109,7 @@ def _stack_kernel(
             + f2_b[li].astype(jnp.float32)
         )
     x = _ln(x, fn_s[0].astype(jnp.float32), fn_b[0].astype(jnp.float32))
-    o_ref[0] = x.astype(o_ref.dtype)
+    o_ref[...] = x.reshape(gb, Lp, D).astype(o_ref.dtype)
 
 
 def _qdot(h, w8, s):
@@ -131,20 +140,20 @@ def _stack_kernel_w8a8(
     hd=32 / probabilities, where int8 buys nothing). Inference-only — the
     separator is frozen at serving time, so like the frozen Llama encoder
     the quantization error has no gradient path to corrupt."""
-    Lp, D = x_ref.shape[1], x_ref.shape[2]
-    x = x_ref[0].astype(jnp.float32)
+    gb, Lp, D = x_ref.shape
+    x = x_ref[...].astype(jnp.float32).reshape(gb * Lp, D)
     kmask = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1) < L
 
     for li in range(n_layers):
         h = _ln(x, ln1_s[li].astype(jnp.float32), ln1_b[li].astype(jnp.float32))
         qkv = _qdot(h, qkv_w[li], qkv_s[li]) + qkv_b[li].astype(jnp.float32)
-        attn = _attention(qkv, nhead, D, kmask, compute_dtype)
+        attn = _attention(qkv, nhead, D, kmask, compute_dtype, gb)
         x = x + _qdot(attn, out_w[li], out_s[li]) + out_b[li].astype(jnp.float32)
         h = _ln(x, ln2_s[li].astype(jnp.float32), ln2_b[li].astype(jnp.float32))
         h = jnp.maximum(_qdot(h, f1_w[li], f1_s[li]) + f1_b[li].astype(jnp.float32), 0.0)
         x = x + _qdot(h, f2_w[li], f2_s[li]) + f2_b[li].astype(jnp.float32)
     x = _ln(x, fn_s[0].astype(jnp.float32), fn_b[0].astype(jnp.float32))
-    o_ref[0] = x.astype(o_ref.dtype)
+    o_ref[...] = x.reshape(gb, Lp, D).astype(o_ref.dtype)
 
 
 def _quantize_stacked(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -165,6 +174,7 @@ def fused_stack_apply(
     nhead: int = 8,
     compute_dtype=jnp.bfloat16,
     quant: str | None = None,
+    gb: int | None = None,
 ) -> jnp.ndarray:
     """Run a TransformerStack forward as one fused kernel.
 
@@ -176,9 +186,16 @@ def fused_stack_apply(
     per-output-channel int8 and runs their matmuls on the MXU's double-rate
     int8 path with dynamic per-row activation scales (inference-only; see
     :func:`_stack_kernel_w8a8`).
+
+    ``gb`` = sequences per grid step (None → the measured per-length default,
+    mirroring the train kernels' _default_gb: 4 at the paper-dim Lp<=256,
+    1 for longer; scripts/bench_fused.py --serving sweeps it).
     """
     G, L, D = x.shape
     Lp = ((L + 127) // 128) * 128
+    if gb is None:
+        gb = 4 if Lp <= 256 else 1
+    Gp = ((G + gb - 1) // gb) * gb
     layers = sorted(
         (k for k in stack_params if k.startswith("layer_")),
         key=lambda s: int(s.split("_")[1]),
@@ -209,7 +226,7 @@ def fused_stack_apply(
     fn_s = jnp.asarray(stack_params["norm"]["scale"], cd)[None]
     fn_b = jnp.asarray(stack_params["norm"]["bias"], cd)[None]
 
-    xp = jnp.pad(x.astype(cd), ((0, 0), (0, Lp - L), (0, 0)))
+    xp = jnp.pad(x.astype(cd), ((0, Gp - G), (0, Lp - L), (0, 0)))
 
     if quant == "w8a8":
         kernel = _stack_kernel_w8a8
@@ -231,19 +248,19 @@ def fused_stack_apply(
         nd = arr.ndim
         return pl.BlockSpec(arr.shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
 
-    xspec = pl.BlockSpec((1, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((gb, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(
             kernel, n_layers=n_layers, nhead=nhead, L=L, compute_dtype=cd
         ),
-        grid=(G,),
+        grid=(Gp // gb,),
         in_specs=[xspec] + [wspec(w) for w in weights],
         out_specs=xspec,
-        out_shape=jax.ShapeDtypeStruct((G, Lp, D), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Gp, Lp, D), x.dtype),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
     )(xp, *weights)
-    return out[:, :L]
+    return out[:G, :L]

@@ -32,13 +32,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 LN_EPS = 1e-6
 
-# Sequences per grid step. Measured on v5e (scripts/bench_fused.py): blocking
-# does NOT help — gb=1 is fastest at every (chunk, gb) point tried; Mosaic
-# already overlaps the per-sequence DMA with compute at gb=1, and wider blocks
-# only add reshape/copy traffic and VMEM pressure. Kept as tunables because
-# the sweep is cheap to re-run on other TPU generations.
-FWD_GB = 1
-BWD_GB = 1
+# Sequences per grid step. The r2/r3 sweeps only tried wide blocks
+# ((8,8)/(16,4)) at chunk=2 and concluded gb=1; the r4 chunk=1 sweep
+# (scripts/bench_fused.py, v5e, both B=8 and B=16 shapes) shows moderate
+# blocking wins, and the optimum depends on the padded sequence length:
+#   Lp=256 (intra, L=251): gb_f=4,gb_b=4  → 141.2/276.0 ms vs 149.4/291.8 at
+#                          gb=1 (B=8/B=16), −5.5%
+#   Lp=128 (inter, L=127): gb_f=4,gb_b=8  → 127.3/248.8 ms vs 143.2/281.4,
+#                          −11.1%/−11.6%
+# Wider ((8,16)/(16,16)) fails Mosaic compile at Lp=256 and regresses at
+# Lp=128. ``None`` selects per-length defaults via _default_gb at call time.
+FWD_GB = None
+BWD_GB = None
+
+
+def _default_gb(Lp: int, gb, bwd: bool = False) -> int:
+    """Resolve measured per-sequence-length grid-block defaults (see above).
+
+    Only the measured paper-dim lengths (Lp=128 inter, Lp=256 intra) get
+    blocks >1; longer sequences keep gb=1 — the bwd kernel holds
+    O(gb * nhead * Lp^2) attention probs in VMEM, so e.g. Lp=1280 at gb=4
+    exceeds the 128 MB window (verified: tiny-model CLI smoke OOMs)."""
+    if gb is not None:
+        return gb
+    if Lp <= 128:
+        return 8 if bwd else 4
+    if Lp <= 256:
+        return 4
+    return 1
 
 
 def _interpret() -> bool:
@@ -291,6 +312,7 @@ def fused_layers(x, weights, n_layers, nhead, L, gb_f=FWD_GB, gb_b=BWD_GB):
 
 def _fused_fwd_impl(x, weights, n_layers, nhead, L, gb):
     G, Lp, D = x.shape
+    gb = _default_gb(Lp, gb)
     cd = weights["qkv_w"].dtype
     xp, Gp = _pad_rows(x, gb)
     xspec = pl.BlockSpec((gb, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -315,7 +337,7 @@ def _fused_bwd(n_layers, nhead, L, gb_f, gb_b, res, gy):
     x, weights = res
     G, Lp, D = x.shape
     cd = weights["qkv_w"].dtype
-    gb = gb_b
+    gb = _default_gb(Lp, gb_b, bwd=True)
     # zero-padded rows carry zero cotangents, so their dw contributions vanish
     xp, Gp = _pad_rows(x, gb)
     gp, _ = _pad_rows(gy, gb)
@@ -370,6 +392,10 @@ def fused_stack_train(
     149.5/143.6 at chunk=2, scripts/bench_fused.py; full step 13.1 vs 12.9
     mixtures/s/chip) and B=16 still fits HBM with the doubled chunk-input
     saves.
+
+    gb_f/gb_b=None selects the measured per-length grid blocks (module
+    header): (4,4) for intra-length stacks, (4,8) for inter-length ones —
+    an ~8% full-step win over the r3 gb=1 default.
     """
     G, L, D = x.shape
     Lp = ((L + 127) // 128) * 128

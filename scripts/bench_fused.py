@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cse_tpu.models.sepformer import Sepformer, SepformerConfig
+from cse_tpu.ops.fused_stack import fused_stack_apply
 from cse_tpu.ops.fused_train import fused_stack_train
 
 
@@ -40,9 +41,27 @@ def bench_one(params_stack, x, nhead, chunk, gb_f, gb_b, iters=10):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def bench_serving(params_stack, x, nhead, gb, iters=10):
+    f = jax.jit(
+        lambda p, xx: jnp.sum(fused_stack_apply(xx, p, nhead=nhead, gb=gb))
+    )
+    float(f(params_stack, x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(params_stack, x)
+    float(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--gscale", type=int, default=1,
+                    help="scale the G (sequences) axis: 1 = the B=8 full-step "
+                         "shapes the r1-r3 sweeps used, 2 = the B=16 default")
+    ap.add_argument("--serving", action="store_true",
+                    help="sweep gb for the inference kernel "
+                         "(fused_stack_apply) instead of the train fwd+bwd")
     args = ap.parse_args()
 
     cfg = SepformerConfig(variant="context", compute_dtype=jnp.bfloat16)
@@ -54,20 +73,35 @@ def main():
     stack = params["params"]["masknet"]["dual_mdl_0"]["intra_mdl"]
 
     shapes = {
-        "intra [1040,251,256]": (1040, 251, 256),
-        "inter [2000,127,256]": (2000, 127, 256),
+        "intra [%d,251,256]" % (1040 * args.gscale): (1040 * args.gscale, 251, 256),
+        "inter [%d,127,256]" % (2000 * args.gscale): (2000 * args.gscale, 127, 256),
     }
+    if args.serving:
+        for name, (G, L, D) in shapes.items():
+            x = jnp.asarray(rng.standard_normal((G, L, D)).astype(np.float32))
+            print(f"== serving {name}")
+            for gb in [1, 2, 4, 8, 16]:
+                try:
+                    ms = bench_serving(stack, x, cfg.nhead, gb, args.iters)
+                    print(f"  gb={gb}: {ms:.1f} ms")
+                except Exception as e:
+                    print(f"  gb={gb}: FAIL {type(e).__name__}: {str(e)[:120]}")
+        return
+
     for name, (G, L, D) in shapes.items():
         x = jnp.asarray(rng.standard_normal((G, L, D)).astype(np.float32))
         print(f"== {name}")
         for chunk, gb_f, gb_b in [
-            (2, 1, 1),   # round-1 baseline
-            (2, 4, 4),
-            (2, 8, 4),
-            (2, 8, 8),
+            (1, 1, 1),   # shipped default since r3 (chunk=1, gb=1)
+            (1, 2, 2),
+            (1, 4, 4),
+            (1, 8, 4),
+            (1, 4, 8),
             (1, 8, 8),
-            (4, 8, 2),
-            (2, 16, 4),
+            (1, 16, 8),
+            (1, 8, 16),
+            (1, 16, 16),
+            (2, 1, 1),   # round-1 baseline
         ]:
             try:
                 ms = bench_one(stack, x, cfg.nhead, chunk, gb_f, gb_b, args.iters)
