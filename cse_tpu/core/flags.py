@@ -123,6 +123,14 @@ def add_test_flags(p: argparse.ArgumentParser):
                         "call resolves to (n_group = beam_size or best_of "
                         "or 1), which is what the reference runs; the "
                         "whisper CLI's 5 is available by passing 5")
+    p.add_argument("--metric_workers", type=int, default=None,
+                   help="worker processes for host eval metrics (PESQ/SDR); "
+                        "default min(cpu_count, 8). 0 = synchronous in-process")
+    p.add_argument("--no_prev_cache", dest="prev_cache", default=True,
+                   action="store_false",
+                   help="disable the mixture-side (prev) metric cache "
+                        "({save_dir}/prev_metrics_cache, keyed by the exact "
+                        "eval row set)")
 
 
 def add_tpu_flags(p: argparse.ArgumentParser):

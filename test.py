@@ -119,6 +119,9 @@ def main():
         eval_step, params, loader, sr=args.sr,
         save_dir=save_dir, dir_name=dir_name, test_dataset=args.test_dataset,
         generate_speech=args.generate_speech,
+        metric_workers=args.metric_workers,
+        prev_cache_dir=(os.path.join(args.save_dir, "prev_metrics_cache")
+                        if args.prev_cache else None),
     )
     return results
 

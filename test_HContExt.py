@@ -104,6 +104,9 @@ def main():
         save_dir=os.path.join(args.save_dir, ckpt_tag), dir_name=dir_name,
         test_dataset=args.test_dataset, generate_speech=args.generate_speech,
         prepare_batch=prepare_batch,
+        metric_workers=args.metric_workers,
+        prev_cache_dir=(os.path.join(args.save_dir, "prev_metrics_cache")
+                        if args.prev_cache else None),
     )
 
 

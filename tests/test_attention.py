@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 
 from cse_tpu.ops.attention import flash_mhsa
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core box; excluded by -m 'not slow'
+
 
 
 def _ref_attention(q, k, v):

@@ -11,6 +11,7 @@ import pytest
 from jax.sharding import PartitionSpec as P
 
 
+@pytest.mark.slow  # ~40 s 8-device compile on the 1-core box
 def test_bench_mesh_data_8(capsys, monkeypatch):
     assert jax.device_count() >= 8
     import bench

@@ -9,6 +9,8 @@ import os
 import sys
 
 import pytest
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core box; excluded by -m 'not slow'
+
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -19,6 +19,8 @@ from cse_tpu.compat.torch_import import (
 )
 from cse_tpu.models.sepformer import Sepformer, SepformerConfig
 from sepformer_oracle import FULL, OracleSepformer
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core box; excluded by -m 'not slow'
+
 
 SR = 8000
 T = 2 * SR  # 2 s

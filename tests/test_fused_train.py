@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 
 from cse_tpu.ops.fused_train import W_NAMES, fused_layers
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core box; excluded by -m 'not slow'
+
 
 D, H, FFN, NL, L, G = 32, 4, 64, 2, 24, 3
 Lp = 128  # padded

@@ -7,6 +7,8 @@ import pytest
 
 from cse_tpu.core.flags import parse_train_args
 from cse_tpu.train.loop import train_net
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core box; excluded by -m 'not slow'
+
 
 
 def _args(extra):

@@ -3,10 +3,12 @@ reference train_ContSep.py:114-132): two CPU processes rendezvous through
 ``distributed_init_if_needed``, run a cross-process collective, and shard the
 train list per host — the code path a multi-host TPU slice exercises."""
 
+import pytest
 import os
 import socket
 import subprocess
 import sys
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core box; excluded by -m 'not slow'
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -43,6 +45,7 @@ from cse_tpu.core.mesh import make_mesh, shard_batch
 from cse_tpu.models import Sepformer, SepformerConfig
 from cse_tpu.train.optimizer import build_optimizer
 from cse_tpu.train.step import TrainConfig, make_train_step
+
 
 mesh = make_mesh(n_data=2)  # 2 global devices, 1 per process
 cfg = SepformerConfig(

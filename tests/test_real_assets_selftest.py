@@ -105,6 +105,7 @@ def fake_assets(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow  # ~55 s incl. fixture on the 1-core box
 def test_gated_suite_runs_on_fabricated_assets(fake_assets, monkeypatch):
     import test_real_assets as ra
 

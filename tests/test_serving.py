@@ -7,6 +7,8 @@ import pytest
 
 from cse_tpu.models import Sepformer, SepformerConfig
 from cse_tpu.serving import ServingEngine, sepformer_fused_forward
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core box; excluded by -m 'not slow'
+
 
 TINY = dict(
     enc_channels=16, enc_kernel=8, enc_stride=4, d_model=16, nhead=4, d_ffn=32,

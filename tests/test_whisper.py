@@ -21,6 +21,7 @@ from cse_tpu.models.whisper import (
     whisper_greedy_decode,
     whisper_log_mel,
 )
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core box; excluded by -m 'not slow'
 
 TINY = WhisperConfig(
     n_mels=80, n_vocab=51865, n_audio_ctx=100, n_audio_state=64,
