@@ -131,6 +131,17 @@ def main():
                          "— tests/test_llama.py)")
     ap.add_argument("--ctx_tokens", type=int, default=512,
                     help="context length for --with_llm (left-padded)")
+    ap.add_argument("--ctx_sim", action="store_true",
+                    help="with --with_llm: draw per-batch dialog-history "
+                         "lengths from a DailyTalk-like distribution (1-15 "
+                         "turns x ~19 tokens/turn incl. the 'Speaker i: ' "
+                         "prefix), tokenize each batch to the smallest "
+                         "bucket in --ctx_sim_buckets, and run the step "
+                         "through the per-bucket precompiled programs — the "
+                         "trainers' real --ctx_buckets path. Most batches "
+                         "land far below the fixed 512-token budget")
+    ap.add_argument("--ctx_sim_buckets", type=str, default="128 256 384 512",
+                    help="buckets for --ctx_sim (space-separated)")
     ap.add_argument("--serving_quant", choices=("w8a8",), default=None,
                     help="with --infer: run the fused serving stacks' "
                          "projection matmuls on the MXU int8 double-rate "
@@ -308,14 +319,52 @@ def main():
         params, opt_state, m = step(params, opt_state, batch, sub)
         return key, params, opt_state, m
 
+    sim_batches = sim_note = None
+    if args.with_llm and args.ctx_sim:
+        # per-step batches at realistic dialog-history lengths, tokenized to
+        # the smallest fitting bucket (the trainers' --ctx_buckets path; the
+        # reference pads dynamically to the batch max, dataset_train_CSE.py:572)
+        buckets = sorted(int(b) for b in args.ctx_sim_buckets.split())
+        simrng = np.random.default_rng(3)
+        sim_batches = []
+        for _ in range(args.steps):
+            lens = []
+            for _ in range(B):
+                turns = int(simrng.integers(1, 16))
+                per_turn = simrng.normal(19.0, 4.0, turns).clip(6)
+                lens.append(int(min(1 + per_turn.sum(), args.ctx_tokens)))
+            W = next((b for b in buckets if b >= max(lens)), args.ctx_tokens)
+            ids = np.zeros((B, W), np.int32)
+            mask = np.zeros((B, W), np.int32)
+            for r, L in enumerate(lens):
+                ids[r, W - L:] = simrng.integers(1, lcfg.vocab_size, L)
+                mask[r, W - L:] = 1
+            sim_batches.append(
+                dict(batch, context_ids=jnp.asarray(ids),
+                     context_mask=jnp.asarray(mask)))
+        widths = [b["context_ids"].shape[1] for b in sim_batches]
+        hist = {w: widths.count(w) for w in sorted(set(widths))}
+        sim_note = ", ctx-sim buckets " + "/".join(
+            f"{w}x{n}" for w, n in hist.items())
+
     key = jax.random.key(1)
+    if sim_batches is not None:
+        # compile one program per bucket actually hit, then the plain warmup
+        for w in sorted(set(widths)):
+            b1 = next(b for b in sim_batches if b["context_ids"].shape[1] == w)
+            key, params, opt_state, m = run_step(key, params, opt_state, b1)
+        float(m["loss"])
     for _ in range(args.warmup):
-        key, params, opt_state, m = run_step(key, params, opt_state, batch)
+        key, params, opt_state, m = run_step(
+            key, params, opt_state,
+            sim_batches[0] if sim_batches is not None else batch)
     float(m["loss"])  # full host sync (block_until_ready is unreliable on axon)
 
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        key, params, opt_state, m = run_step(key, params, opt_state, batch)
+    for s in range(args.steps):
+        key, params, opt_state, m = run_step(
+            key, params, opt_state,
+            sim_batches[s] if sim_batches is not None else batch)
     float(m["loss"])
     dt = time.perf_counter() - t0
 
@@ -345,6 +394,8 @@ def main():
         llm_note = ", %s 8B prefill IN-STEP @ %d tokens" % (
             args.llama_quant, args.ctx_tokens) if not args.smoke else (
             ", tiny-smoke llm in-step")
+        if sim_note:
+            llm_note += sim_note
 
     var_note = {"context": "", "contsep": ", PIT+BCE-selector 2-stream",
                 "hcontext": ", + per-step ECAPA enrollment fwd"}[args.variant]

@@ -137,6 +137,17 @@ def add_tpu_flags(p: argparse.ArgumentParser):
     """cse_tpu extensions (all optional; absent from the reference)."""
     p.add_argument("--synthetic_smoke", default=False, action="store_true",
                    help="build a tiny synthetic corpus and run end-to-end")
+    p.add_argument("--synthetic_dialogs", type=int, default=4,
+                   help="with --synthetic_smoke: dialogs in the generated "
+                        "corpus (raise for sustained-throughput runs so the "
+                        "host pipeline decodes fresh files every batch)")
+    p.add_argument("--synthetic_turns", type=int, default=8,
+                   help="with --synthetic_smoke: turns per dialog")
+    p.add_argument("--synthetic_seconds", type=float, nargs=2,
+                   default=(1.0, 3.0), metavar=("LO", "HI"),
+                   help="with --synthetic_smoke: utterance length range (s); "
+                        "use realistic lengths (e.g. 3 13) when measuring "
+                        "host-pipeline cost")
     p.add_argument("--mesh_data", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--remat", type=str, default="layer",
@@ -151,6 +162,14 @@ def add_tpu_flags(p: argparse.ArgumentParser):
                    default=True, action="store_false",
                    help="disable lane-aligned train buckets (exact reference cap)")
     p.add_argument("--max_ctx_tokens", type=int, default=512)
+    p.add_argument("--ctx_buckets", type=str, default="128 256 384 512",
+                   help="space-separated context-token buckets: each batch "
+                        "tokenizes to the smallest bucket holding its longest "
+                        "dialog history (capped at --max_ctx_tokens), so "
+                        "short histories skip most of the frozen-LLM prefill "
+                        "cost; one jitted program per bucket actually hit "
+                        "(compiled on first use). 'none' pins every batch to "
+                        "the fixed --max_ctx_tokens width")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu for local smoke)")
     p.add_argument("--log_every", type=int, default=100)
@@ -181,7 +200,18 @@ def parse_train_args(argv=None) -> argparse.Namespace:
     args.speed_perturb_ratio = tuple(
         float(r) for r in args.speed_perturb_ratio.split()
     )
+    args.ctx_buckets = _parse_ctx_buckets(args)
     return args
+
+
+def _parse_ctx_buckets(args) -> tuple:
+    raw = getattr(args, "ctx_buckets", "") or ""
+    if isinstance(raw, tuple):
+        return raw
+    if raw.strip().lower() in ("none", ""):
+        return ()
+    buckets = tuple(sorted(int(b) for b in raw.split()))
+    return tuple(b for b in buckets if b <= args.max_ctx_tokens) or ()
 
 
 def parse_test_args(argv=None) -> argparse.Namespace:
@@ -195,4 +225,5 @@ def parse_test_args(argv=None) -> argparse.Namespace:
     args.speed_perturb_ratio = tuple(
         float(r) for r in args.speed_perturb_ratio.split()
     )
+    args.ctx_buckets = _parse_ctx_buckets(args)
     return args

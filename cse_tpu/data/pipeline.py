@@ -56,6 +56,10 @@ class PipelineConfig:
     max_context_train: int = 300
     context_length: int = 0
     max_ctx_tokens: int = 512
+    # context-length buckets: batches tokenize to the smallest bucket that
+    # holds their longest row (<= max_ctx_tokens), so short dialog histories
+    # skip most of the frozen-LLM prefill cost. None/() = fixed max_ctx_tokens.
+    ctx_buckets: tuple = ()
     return_16k_gt: bool = False
     # shrink the train bucket (<=10%) so the dual-path inter sequence fits the
     # 128-lane tile exactly — ~34% faster train steps on v5e (see ops/buckets)
@@ -392,7 +396,8 @@ class TrainLoader:
             )
             self._decode_audio(plans, out)
             ids, mask = encode_batch(
-                self.tok, [p["ctx"] for p in plans], cfg.max_ctx_tokens
+                self.tok, [p["ctx"] for p in plans], cfg.max_ctx_tokens,
+                buckets=cfg.ctx_buckets,
             )
             out["context_ids"] = ids
             out["context_mask"] = mask
@@ -555,7 +560,8 @@ class EvalLoader:
             names = [
                 os.path.splitext(os.path.basename(self.mix_paths[i]))[0] for i in rows
             ]
-            ids, mask = encode_batch(self.tok, ctxs, cfg.max_ctx_tokens)
+            ids, mask = encode_batch(self.tok, ctxs, cfg.max_ctx_tokens,
+                                     buckets=cfg.ctx_buckets)
             # pre-resample 16 kHz gt for enrollment; kept as host arrays (only
             # the H-ContExt paths consume them, per-row on host)
             gt16k = out["gt"]

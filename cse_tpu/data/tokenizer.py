@@ -79,18 +79,30 @@ def load_tokenizer(path: str, auth_token: str | None = None, allow_fallback: boo
 
 
 def encode_batch(
-    tokenizer, texts: list[str], max_tokens: int
+    tokenizer, texts: list[str], max_tokens: int,
+    buckets: tuple[int, ...] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Tokenize -> (ids [B, max_tokens], mask [B, max_tokens]) int32.
+    """Tokenize -> (ids [B, W], mask [B, W]) int32.
 
     Left-truncated to ``max_tokens``, left-padded with pad_token_id — the
-    reference's padding_side/truncation_side='left' with a static budget.
+    reference's padding_side/truncation_side='left' (``dataset_train_CSE.py:
+    106-109,572``). The reference pads dynamically to the batch max; a fully
+    dynamic width would recompile the jitted step per batch, so the static
+    width W is either ``max_tokens`` (default) or, with ``buckets``, the
+    smallest bucket that holds the longest row — one compiled program per
+    bucket, and short dialog histories skip most of the frozen-LLM prefill
+    cost (PERF.md "context-length bucketing").
     """
     B = len(texts)
-    ids = np.full((B, max_tokens), tokenizer.pad_token_id, np.int32)
-    mask = np.zeros((B, max_tokens), np.int32)
-    for i, t in enumerate(texts):
-        toks = tokenizer.encode(t)[-max_tokens:]
-        ids[i, max_tokens - len(toks):] = toks
-        mask[i, max_tokens - len(toks):] = 1
+    rows = [tokenizer.encode(t)[-max_tokens:] for t in texts]
+    width = max_tokens
+    if buckets:
+        longest = max((len(r) for r in rows), default=1)
+        fitting = [b for b in sorted(buckets) if b >= longest]
+        width = min(fitting[0], max_tokens) if fitting else max_tokens
+    ids = np.full((B, width), tokenizer.pad_token_id, np.int32)
+    mask = np.zeros((B, width), np.int32)
+    for i, toks in enumerate(rows):
+        ids[i, width - len(toks):] = toks
+        mask[i, width - len(toks):] = 1
     return ids, mask

@@ -19,6 +19,7 @@ decode and tokenize.
 from __future__ import annotations
 
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -71,7 +72,10 @@ def setup_synthetic(args):
     )
     root = tempfile.mkdtemp(prefix="cse_synth_")
     info = make_synthetic_corpus(
-        root, num_test_mix=args.num_test_mix, corpus=args.train_data
+        root, num_test_mix=args.num_test_mix, corpus=args.train_data,
+        n_dialogs=getattr(args, "synthetic_dialogs", 4),
+        turns_per_dialog=getattr(args, "synthetic_turns", 8),
+        seconds=tuple(getattr(args, "synthetic_seconds", (1.0, 3.0))),
     )
     corpus = args.train_data
     setattr(args, f"{corpus}_data_path", info[f"{corpus}_data_path"])
@@ -143,6 +147,7 @@ def _pipeline_cfg(args, mode: str) -> PipelineConfig:
         max_context_train=args.max_context_train,
         context_length=args.context_length,
         max_ctx_tokens=args.max_ctx_tokens,
+        ctx_buckets=tuple(getattr(args, "ctx_buckets", ()) or ()),
         # train-only; eval keeps the exact reference bucket (metric parity)
         aligned_buckets=(mode == "train") and getattr(args, "aligned_buckets", True),
     )
@@ -423,6 +428,15 @@ def train_net(args, variant: str):
     micro = 0  # global microbatch counter (checkpoints land on update
     # boundaries, so MultiSteps' restored mini_step is 0 — aligned)
     dispatch_idx = 0  # per-dispatch RNG stream for enrollment crops
+    # sustained-throughput marks: (global microbatch, wall-clock) at every
+    # log boundary; the end-of-run summary rates marks[1:] so the first
+    # block (which contains the step compile) is excluded. Dispatch is async
+    # (train_step returns device futures), so each mark first blocks on the
+    # newest step's metrics — marks are true completion times, and the Iter
+    # Time print stops reporting host dispatch rate when no logger backend
+    # forces a per-step sync.
+    sustained_marks: list[tuple[int, float]] = []
+    last_metrics = None
     for epoch in range(start_epoch, args.epochs):
         if stop:
             break
@@ -456,7 +470,10 @@ def train_net(args, variant: str):
             i += 1
             batch = pending
             if i % args.log_every == 0:
+                if last_metrics is not None:
+                    float(last_metrics["loss"])  # drain the device queue
                 iter_time = timer.lap()
+                sustained_marks.append((micro, time.time()))
                 print(
                     "******** Training [%d / %d] : %d / %d, Iter Time : %.3f sec ********"
                     % (epoch, args.epochs, (i + 1) * B, len(files), iter_time)
@@ -466,6 +483,7 @@ def train_net(args, variant: str):
                     params, opt_state, batch,
                     jax.random.fold_in(jax.random.key(args.seed), step_num * 1000 + i),
                 )
+            last_metrics = metrics
             # prefetch-dispatch batch i+1 while step i runs on device
             nxt = next(host_iter, None)
             pending = _prepare(nxt) if nxt is not None else None
@@ -555,6 +573,17 @@ def train_net(args, variant: str):
                 stop = True
                 break
     print("Finishing training")
+    if len(sustained_marks) >= 3:
+        # end-to-end trainer throughput: host decode/tokenize/prefetch +
+        # device synthesis + train step, measured over steady-state blocks
+        # (marks[1:] skip the compile-bearing first block). This is the
+        # number to hold next to bench.py's device-resident step rate.
+        (m0, t0), (m1, t1) = sustained_marks[1], sustained_marks[-1]
+        if m1 > m0 and t1 > t0:
+            rate = (m1 - m0) * B / (t1 - t0)
+            print(f"[cse_tpu] sustained end-to-end throughput: "
+                  f"{rate:.3f} mixtures/s ({m1 - m0} microbatches x B={B} "
+                  f"over {t1 - t0:.1f} s, steady state)")
     train_loader.close()
     writer.close()
     return params

@@ -92,16 +92,25 @@ def main():
         x = jnp.asarray(rng.standard_normal((G, L, D)).astype(np.float32))
         print(f"== {name}")
         for chunk, gb_f, gb_b in [
-            (1, 1, 1),   # shipped default since r3 (chunk=1, gb=1)
+            (1, 1, 1),   # r3 default (chunk=1, gb=1)
             (1, 2, 2),
-            (1, 4, 4),
+            (1, 4, 4),   # r4 shipped default at Lp=256
             (1, 8, 4),
-            (1, 4, 8),
+            (1, 4, 8),   # r4 shipped default at Lp=128
             (1, 8, 8),
             (1, 16, 8),
             (1, 8, 16),
             (1, 16, 16),
             (2, 1, 1),   # round-1 baseline
+            # r5: chunk>1 was only ever swept at gb=1 (where chunk=1 won);
+            # chunk cuts pallas_call count + halves saved chunk inputs, gb
+            # fills the MXU — the combination is unexplored
+            (2, 4, 4),
+            (2, 4, 8),
+            (2, 8, 4),
+            (2, 2, 2),
+            (4, 4, 4),
+            (4, 4, 8),
         ]:
             try:
                 ms = bench_one(stack, x, cfg.nhead, chunk, gb_f, gb_b, args.iters)

@@ -84,6 +84,7 @@ def main():
     pcfg = PipelineConfig(
         max_sp_len=args.max_sp_len, sr=args.sr, num_max_mix=args.num_max_mix,
         context_length=args.context_length, max_ctx_tokens=args.max_ctx_tokens,
+        ctx_buckets=tuple(getattr(args, 'ctx_buckets', ()) or ()),
     )
     loader = EvalLoader(
         paths, args.test_dataset, "test", pcfg, tokenizer, batch_size=1,

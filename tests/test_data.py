@@ -69,6 +69,38 @@ def test_tokenizer_budget():
     assert ids[0, :5].tolist() == [0] * 5  # pad on the left
 
 
+def test_tokenizer_ctx_buckets():
+    tok = ByteTokenizer()
+    # longest row = 29 bytes + bos = 30 tokens -> 32 bucket
+    ids, mask = encode_batch(
+        tok, ["hi", "a much longer context string!"], 512,
+        buckets=(32, 128, 512),
+    )
+    assert ids.shape == (2, 32) and mask.shape == (2, 32)
+    assert mask[1].sum() == 30
+    # nothing fits -> cap at max_tokens
+    ids, mask = encode_batch(tok, ["x" * 600], 512, buckets=(32, 128))
+    assert ids.shape == (1, 512) and mask[0].sum() == 512
+    # bucket width larger than max_tokens is capped too
+    ids, _ = encode_batch(tok, ["x" * 600], 64, buckets=(128,))
+    assert ids.shape == (1, 64)
+
+
+def test_ctx_bucket_features_invariant_to_pad_width():
+    """Left-pad width must not change the context feature (mask-respecting
+    encoders); bucketing would otherwise alter training vs the fixed budget."""
+    import numpy as np
+
+    from cse_tpu.models.context_encoder import HashProjectionEncoder
+
+    tok = ByteTokenizer()
+    enc = HashProjectionEncoder(dim=32, ctx_length=1)
+    texts = ["short context", "a somewhat longer dialog history line"]
+    a = enc(*encode_batch(tok, texts, 512))
+    b = enc(*encode_batch(tok, texts, 512, buckets=(64,)))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_train_pipeline_end_to_end(corpus):
     paths = ds.CorpusPaths(
         dailytalk=corpus["dailytalk_data_path"], lists_root=corpus["lists_root"]
