@@ -100,6 +100,8 @@ def synthesize_batch(cfg: PipelineConfig, host: dict) -> dict:
     plus gt16k (pre-mix source at 16 kHz) for enrollment cropping.
     """
     T16 = cfg.t16
+    host = {k: (_unwire(v) if k in ("source", "noise1", "noise2", "demand")
+                else v) for k, v in host.items()}
 
     def prep(x, ln, shift, speed_idx):
         x = peak_normalize(x)
@@ -184,15 +186,39 @@ def crop_enrollment(
     return out * (pos < emb_len[:, None]).astype(gt16k.dtype), emb_len
 
 
+# waveform wire format: the loaders ship int16 PCM and the device programs
+# convert back — halves host->device transfer bytes, which binds the
+# sustained trainer rate when the device link is thin (measured 46 MB/s over
+# the axon tunnel: 48 MB of f32 per B=16 train batch = 1.05 s vs a 1.11 s
+# step, PERF.md r5). Exact for raw PCM16-decoded eval wavs (peak_target=0);
+# <=3e-5 relative error for the peak-normalized train decodes — and the
+# synthesis chain peak-normalizes first, so the wire scale cancels anyway.
+_WIRE_SCALE = 32768.0
+
+
+def wire_int16(x: np.ndarray) -> np.ndarray:
+    """float32 in [-1, 1] -> int16 wire format (host side)."""
+    return np.clip(x * _WIRE_SCALE, -32768.0, 32767.0).astype(np.int16)
+
+
+def _unwire(x: jnp.ndarray) -> jnp.ndarray:
+    """int16 wire -> float32 (device side; no-op for float inputs)."""
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) * (1.0 / _WIRE_SCALE)
+    return x
+
+
 @partial(jax.jit, static_argnames=("sr",))
 def resample_eval_batch(sr: int, host: dict) -> dict:
     """Eval path: premixed 16 kHz wavs -> model rate (reference ``:393-398``)."""
     out = dict(host)
+    for k in ("mixed", "gt", "noises"):
+        out[k] = _unwire(out[k])
     if sr != 16000:
         for k in ("mixed", "gt"):
-            out[k], _ = resample(host[k], 16000, sr)
-        B, T, C = host["noises"].shape
-        n8 = resample(host["noises"].transpose(0, 2, 1).reshape(B * C, T), 16000, sr)[0]
+            out[k], _ = resample(out[k], 16000, sr)
+        B, T, C = out["noises"].shape
+        n8 = resample(out["noises"].transpose(0, 2, 1).reshape(B * C, T), 16000, sr)[0]
         out["noises"] = n8.reshape(B, C, -1).transpose(0, 2, 1)
         out["sp_len"] = jnp.ceil(host["sp_len"] * (sr / 16000)).astype(jnp.int32)
     return out
@@ -401,6 +427,9 @@ class TrainLoader:
             )
             out["context_ids"] = ids
             out["context_mask"] = mask
+            for k in ("source", "noise1", "noise2", "demand"):
+                if k in out:
+                    out[k] = wire_int16(out[k])
             yield out
 
     def device_batch(self, host: dict) -> dict:
@@ -563,8 +592,11 @@ class EvalLoader:
             ids, mask = encode_batch(self.tok, ctxs, cfg.max_ctx_tokens,
                                      buckets=cfg.ctx_buckets)
             # pre-resample 16 kHz gt for enrollment; kept as host arrays (only
-            # the H-ContExt paths consume them, per-row on host)
+            # the H-ContExt paths consume them, per-row on host) — grabbed
+            # BEFORE the int16 wire conversion so enrollment sees f32
             gt16k = out["gt"]
+            out = dict(out, **{k: wire_int16(out[k])
+                               for k in ("mixed", "gt", "noises")})
             batch = dict(resample_eval_batch(cfg.sr, {k: jnp.asarray(v) for k, v in out.items()}))
             batch["gt16k"] = gt16k
             batch["gt16k_len"] = gt_len16

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--no_augment", action="store_true")
+    ap.add_argument("--skip_step", action="store_true",
+                    help="skip the train-step timing (its ~5 min compile; "
+                         "bench.py already measures it)")
     args = ap.parse_args()
 
     from cse_tpu.data import datasets as ds
@@ -79,7 +82,36 @@ def main():
     synth_ms = (time.perf_counter() - t0) / args.iters * 1e3
     print(f"device synthesis: {synth_ms:.1f} ms/batch (includes one host sync)")
 
+    # split transfer vs compute: same program on device-resident inputs
+    from cse_tpu.data.pipeline import synthesize_batch
+
+    synth_in = {k: v for k, v in host.items()
+                if k not in ("context_ids", "context_mask")}
+    dev_in = jax.device_put(synth_in)
+    jax.block_until_ready(dev_in)
+
+    def synth_dev():
+        b = synthesize_batch(cfg, dev_in)
+        return float(jnp.sum(b["mixed"][0, :8]))
+
+    synth_dev()
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        synth_dev()
+    sd_ms = (time.perf_counter() - t0) / args.iters * 1e3
+    nbytes = sum(np.asarray(v).nbytes for v in synth_in.values())
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        jax.block_until_ready(jax.device_put(synth_in))
+    put_ms = (time.perf_counter() - t0) / args.iters * 1e3
+    print(f"  synthesis compute (device-resident inputs): {sd_ms:.1f} ms")
+    print(f"  host->device put of {nbytes / 1e6:.1f} MB inputs: {put_ms:.1f} ms "
+          f"({nbytes / put_ms / 1e3:.0f} MB/s effective)")
+
     # ---- train step at the same shape (bench.py's configuration)
+    if args.skip_step:
+        loader.close()
+        return
     from cse_tpu.models import Sepformer, SepformerConfig
     from cse_tpu.train.optimizer import build_optimizer
     from cse_tpu.train.schedules import cosine_warmup_schedule
