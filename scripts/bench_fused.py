@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--serving", action="store_true",
                     help="sweep gb for the inference kernel "
                          "(fused_stack_apply) instead of the train fwd+bwd")
+    ap.add_argument("--combos", type=str, default=None,
+                    help="comma-separated chunk:gb_f:gb_b triples to sweep "
+                         "instead of the built-in list (compile over the "
+                         "tunnel costs ~4 min per config; trim accordingly)")
     args = ap.parse_args()
 
     cfg = SepformerConfig(variant="context", compute_dtype=jnp.bfloat16)
@@ -88,10 +92,14 @@ def main():
                     print(f"  gb={gb}: FAIL {type(e).__name__}: {str(e)[:120]}")
         return
 
+    combos = None
+    if args.combos:
+        combos = [tuple(int(v) for v in c.split(":"))
+                  for c in args.combos.split(",")]
     for name, (G, L, D) in shapes.items():
         x = jnp.asarray(rng.standard_normal((G, L, D)).astype(np.float32))
         print(f"== {name}")
-        for chunk, gb_f, gb_b in [
+        for chunk, gb_f, gb_b in combos or [
             (1, 1, 1),   # r3 default (chunk=1, gb=1)
             (1, 2, 2),
             (1, 4, 4),   # r4 shipped default at Lp=256

@@ -333,3 +333,30 @@ def test_truncated_wav_decodes_prefix(tmp_path, rng):
 
     y, sr = _read_wav_py(p)
     assert sr == 16000 and len(y) == 3999
+
+
+def test_int16_wire_roundtrip(tmp_path, rng):
+    """Waveform wire contract (pipeline.wire_int16/_unwire): exact for
+    PCM16-decoded audio (decode divides by 32768 — audio_io.py:71 — and the
+    wire re-scales by the same constant), <=3e-5 relative for arbitrary
+    floats in [-1, 1]."""
+    import jax.numpy as jnp
+
+    from cse_tpu.data.audio_io import read_wav, write_wav
+    from cse_tpu.data.pipeline import _unwire, wire_int16
+
+    # arbitrary float audio: bounded quantization error
+    x = rng.uniform(-1.0, 1.0, 8000).astype(np.float32)
+    back = np.asarray(_unwire(jnp.asarray(wire_int16(x))))
+    assert np.abs(back - x).max() <= (1.0 / 32768.0) + 1e-7
+
+    # PCM16-decoded audio: bit-exact through the wire
+    p = str(tmp_path / "w.wav")
+    write_wav(p, x, 16000)
+    d, sr = read_wav(p)
+    back = np.asarray(_unwire(jnp.asarray(wire_int16(d))))
+    np.testing.assert_array_equal(back, d)
+
+    # float passthrough: _unwire is a no-op for non-int16 inputs
+    f = jnp.asarray(x)
+    assert _unwire(f) is f
